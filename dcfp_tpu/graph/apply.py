@@ -1,0 +1,216 @@
+"""Interpreter + initializer for the layer-graph IR.
+
+`graph_apply` walks the DAG once per trace; under `jax.jit` XLA sees the
+same primitive stream a hand-written forward would emit and fuses it.  All
+tensors are NHWC, conv kernels HWIO (TPU-native layouts).
+
+BatchNorm note (SyncBN parity): batch moments are computed with plain
+`jnp.mean` over (N, H, W).  Under `pjit` with the batch sharded across the
+`data` mesh axis, that mean is *global* — XLA inserts the cross-chip
+reduction — so synchronized BN (reference: engine.py:65
+`convert_sync_batchnorm`) falls out of SPMD semantics with zero extra code.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcfp_tpu.graph.ir import Graph, Node
+from dcfp_tpu.ops.pool import adaptive_avg_pool, global_avg_pool, max_pool
+from dcfp_tpu.ops.resize import resize_bilinear
+
+Params = Dict[str, Dict[str, jnp.ndarray]]
+State = Dict[str, Dict[str, jnp.ndarray]]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_graph(graph: Graph, rng: jax.Array, dtype=jnp.float32
+               ) -> Tuple[Params, State]:
+    """Initialize params/state for every parametric node.
+
+    Convs follow torch's default kaiming-uniform(a=sqrt(5)) — i.e.
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — so randomly-initialized nets match
+    the reference's statistics; BN starts at scale=1, bias=0.
+    """
+    params: Params = {}
+    state: State = {}
+    for node in graph.toposorted():
+        if node.op == "conv":
+            a = node.attrs
+            rng, k1, k2 = jax.random.split(rng, 3)
+            fan_in = a["kernel"] * a["kernel"] * (a["in_ch"] // a["groups"])
+            bound = 1.0 / math.sqrt(fan_in)
+            shape = (a["kernel"], a["kernel"], a["in_ch"] // a["groups"],
+                     a["out_ch"])
+            p = {"kernel": jax.random.uniform(k1, shape, dtype, -bound, bound)}
+            if a["bias"]:
+                p["bias"] = jax.random.uniform(
+                    k2, (a["out_ch"],), dtype, -bound, bound)
+            params[node.name] = p
+        elif node.op == "bn":
+            ch = node.attrs["channels"]
+            params[node.name] = {
+                "scale": jnp.ones((ch,), dtype),
+                "bias": jnp.zeros((ch,), dtype),
+            }
+            state[node.name] = {
+                "mean": jnp.zeros((ch,), jnp.float32),
+                "var": jnp.ones((ch,), jnp.float32),
+            }
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+def _conv(x, node: Node, p):
+    a = node.attrs
+    pad = a["padding"]
+    y = jax.lax.conv_general_dilated(
+        x, p["kernel"].astype(x.dtype),
+        window_strides=(a["stride"], a["stride"]),
+        padding=((pad, pad), (pad, pad)),
+        rhs_dilation=(a["dilation"], a["dilation"]),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=a["groups"],
+        preferred_element_type=jnp.float32,  # f32 accumulation on the MXU
+    )
+    if a["bias"]:
+        y = y + p["bias"].astype(y.dtype)
+    return y.astype(x.dtype)
+
+
+def _bn(x, node: Node, p, s, train: bool):
+    a = node.attrs
+    eps, mom = a["eps"], a["momentum"]
+    new_s = None
+    if train:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+        count = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * (count / max(count - 1, 1))
+        new_s = {
+            "mean": (1 - mom) * s["mean"] + mom * mean,
+            "var": (1 - mom) * s["var"] + mom * unbiased,
+        }
+    else:
+        mean, var = s["mean"], s["var"]
+    inv = jax.lax.rsqrt(var + eps) * p["scale"].astype(jnp.float32)
+    shift = p["bias"].astype(jnp.float32) - mean * inv
+    y = x.astype(jnp.float32) * inv + shift
+    return y.astype(x.dtype), new_s
+
+
+def _dropout(x, node: Node, rng, train: bool):
+    rate = node.attrs["rate"]
+    if not train or rate == 0.0 or rng is None:
+        return x
+    if node.attrs["spatial"]:
+        shape = (x.shape[0], 1, 1, x.shape[-1])
+    else:
+        shape = x.shape
+    keep = jax.random.bernoulli(rng, 1.0 - rate, shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+def graph_apply(graph: Graph, params: Params, state: State,
+                inputs: Dict[str, jnp.ndarray], *, train: bool = False,
+                rng: Optional[jax.Array] = None
+                ) -> Tuple[Dict[str, jnp.ndarray], State]:
+    """Run the graph.  Returns ({output_name: tensor}, new_state).
+
+    `new_state` contains updated BN running stats for nodes touched in
+    train mode (unchanged entries are passed through), so callers can carry
+    it functionally.
+    """
+    vals: Dict[str, jnp.ndarray] = {}
+    new_state: State = dict(state)
+
+    # reference counts so eager (non-jit) execution frees activations early
+    refs: Dict[str, int] = {}
+    for node in graph.toposorted():
+        for parent in node.inputs:
+            refs[parent] = refs.get(parent, 0) + 1
+    for out in set(graph.outputs) | set(graph.inputs):
+        refs[out] = refs.get(out, 0) + 1
+
+    n_dropout = sum(1 for n in graph.toposorted() if n.op == "dropout")
+    drop_rngs = {}
+    if rng is not None and n_dropout:
+        keys = jax.random.split(rng, n_dropout)
+        i = 0
+        for n in graph.toposorted():
+            if n.op == "dropout":
+                drop_rngs[n.name] = keys[i]
+                i += 1
+
+    input_hw = None
+    for node in graph.toposorted():
+        op = node.op
+        if op == "input":
+            y = inputs[node.name]
+            if input_hw is None:
+                input_hw = (y.shape[-3], y.shape[-2])
+        elif op == "conv":
+            y = _conv(vals[node.inputs[0]], node, params[node.name])
+        elif op == "bn":
+            y, ns = _bn(vals[node.inputs[0]], node, params[node.name],
+                        state[node.name], train)
+            if ns is not None:
+                new_state[node.name] = ns
+        elif op == "relu":
+            y = jax.nn.relu(vals[node.inputs[0]])
+        elif op == "add":
+            y = vals[node.inputs[0]]
+            for other in node.inputs[1:]:
+                y = y + vals[other]
+        elif op == "concat":
+            y = jnp.concatenate([vals[i] for i in node.inputs], axis=-1)
+        elif op == "maxpool":
+            a = node.attrs
+            y = max_pool(vals[node.inputs[0]], a["kernel"], a["stride"],
+                         a["padding"])
+        elif op == "avgpool":
+            y = adaptive_avg_pool(vals[node.inputs[0]],
+                                  node.attrs["out_size"])
+        elif op == "globalpool":
+            y = global_avg_pool(vals[node.inputs[0]])
+        elif op == "resize":
+            x = vals[node.inputs[0]]
+            a = node.attrs
+            if "like" in a:
+                ref = vals[a["like"]]
+                target = (ref.shape[-3], ref.shape[-2])
+            elif a.get("to_input"):
+                target = input_hw
+            else:
+                target = (int(round(x.shape[-3] * a["scale"])),
+                          int(round(x.shape[-2] * a["scale"])))
+            y = resize_bilinear(x, target, a["align_corners"])
+        elif op == "dropout":
+            y = _dropout(vals[node.inputs[0]], node,
+                         drop_rngs.get(node.name), train)
+        elif op == "identity":
+            y = vals[node.inputs[0]]
+        else:
+            raise NotImplementedError(f"op {op!r} ({node.name})")
+
+        vals[node.name] = y
+        # release dead activations (no-op under jit, real savings eagerly)
+        for parent in node.inputs:
+            refs[parent] -= 1
+            if refs[parent] == 0:
+                del vals[parent]
+
+    outputs = {name: vals[name] for name in graph.outputs}
+    return outputs, new_state
