@@ -170,6 +170,12 @@ def graph_apply(graph: Graph, params: Params, state: State,
                 new_state[node.name] = ns
         elif op == "relu":
             y = jax.nn.relu(vals[node.inputs[0]])
+        elif op == "sigmoid":
+            y = jax.nn.sigmoid(vals[node.inputs[0]])
+        elif op == "mul":
+            y = vals[node.inputs[0]]
+            for other in node.inputs[1:]:
+                y = y * vals[other]
         elif op == "add":
             y = vals[node.inputs[0]]
             for other in node.inputs[1:]:

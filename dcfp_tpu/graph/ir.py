@@ -27,8 +27,8 @@ from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
 # Ops that preserve channel identity 1:1 from their (single) input.  Channel
 # masks propagate through these untouched when tracing prune topology.
 CHANNEL_PASSTHROUGH_OPS = frozenset({
-    "relu", "identity", "dropout", "maxpool", "avgpool", "globalpool",
-    "resize", "bn",
+    "relu", "sigmoid", "identity", "dropout", "maxpool", "avgpool",
+    "globalpool", "resize", "bn",
 })
 
 # Ops that own channel dimensions (have per-channel parameters).
@@ -252,6 +252,20 @@ class GraphBuilder:
         self.g.add(Node(name, "dropout", (x,),
                         {"rate": float(rate), "spatial": bool(spatial)}))
         self._channels[name] = self._channels[x]
+        return name
+
+    def sigmoid(self, x: str, name: Optional[str] = None) -> str:
+        name = self._name(name, "sigmoid")
+        self.g.add(Node(name, "sigmoid", (x,), {}))
+        self._channels[name] = self._channels[x]
+        return name
+
+    def mul(self, xs: Sequence[str], name: Optional[str] = None) -> str:
+        """Elementwise (broadcasting) multiply; channels follow the first
+        operand (used for SE-style channel gating)."""
+        name = self._name(name, "mul")
+        self.g.add(Node(name, "mul", tuple(xs), {}))
+        self._channels[name] = self._channels[xs[0]]
         return name
 
     def identity(self, x: str, name: Optional[str] = None) -> str:
