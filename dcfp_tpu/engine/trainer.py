@@ -1,0 +1,136 @@
+"""Training engine: one jitted SPMD train step + the outer loop.
+
+Replaces the reference hot loop (train.py:239-288): forward + loss + DDP
+grad all-reduce + EIC hook + optimizer step become a single compiled XLA
+program per step.  LR scheduling is a pure function of the step counter
+inside the optax chain (no param-group mutation), the NaN guard
+(train.py:260) is an on-host check of the returned loss, and the EIC EMA
+(pruners/dcfp_pruner.py:15-20) is carried functional state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from dcfp_tpu.engine.optim import build_optimizer, poly_warmup_schedule
+from dcfp_tpu.graph.apply import graph_apply
+from dcfp_tpu.losses.criteria import Criterion
+from dcfp_tpu.models.heads import SegModel
+from dcfp_tpu.prune.eic import EicState, eic_update, init_eic
+from dcfp_tpu.utils.logger import get_logger
+
+log = get_logger()
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    bn_state: Any
+    opt_state: Any
+    eic: Optional[EicState]
+
+
+def create_train_state(model: SegModel, params, bn_state, tx,
+                       prune_type: Optional[str] = None) -> TrainState:
+    eic = init_eic(model.graph) if prune_type == "dcfp" else None
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      bn_state=bn_state, opt_state=tx.init(params), eic=eic)
+
+
+def make_train_step(model: SegModel, criterion: Criterion,
+                    tx: optax.GradientTransformation, *,
+                    eic_r: float = 0.999, compute_dtype=jnp.float32
+                    ) -> Callable:
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+
+    ``batch``: {'img': NHWC float, 'label': (N,H,W) int or
+    {'ori','weight'}}.  Under a mesh, shard the batch over ('data',
+    'spatial'); params/opt-state stay replicated and XLA inserts the grad
+    reduction implied by the global-mean loss.
+    """
+    graph = model.graph
+
+    def loss_fn(params, bn_state, batch, rng):
+        img = batch["img"].astype(compute_dtype)
+        preds, new_bn = graph_apply(graph, params, bn_state,
+                                    {"image": img}, train=True, rng=rng)
+        loss = criterion(preds, batch["label"])["loss"]
+        return loss, new_bn
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, rng):
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.bn_state, batch, rng)
+        eic = state.eic
+        if eic is not None:
+            eic = eic_update(eic, state.params, grads, eic_r)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  bn_state=new_bn, opt_state=new_opt,
+                                  eic=eic)
+        gnorm = optax.global_norm(grads)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    return train_step
+
+
+@dataclasses.dataclass
+class TrainLoop:
+    """Outer loop: step scheduling, NaN guard, snapshots, EIC export.
+
+    Mirrors reference train.py:227-288 structure (steps-based with
+    save window) without the epoch/DataLoader machinery — the data source
+    is any iterator of host batches.
+    """
+    model: SegModel
+    criterion: Criterion
+    tx: optax.GradientTransformation
+    num_steps: int
+    lr_schedule: Callable
+    save_pred_every: int = 10000
+    save_steps: int = 0
+    snapshot_hook: Optional[Callable] = None  # (state, step) -> None
+    log_every: int = 50
+    prune_type: Optional[str] = None
+    eic_r: float = 0.999
+    compute_dtype: Any = jnp.float32
+
+    def run(self, state: TrainState, batches, rng: jax.Array,
+            start_step: int = 0) -> TrainState:
+        train_step = make_train_step(self.model, self.criterion, self.tx,
+                                     eic_r=self.eic_r,
+                                     compute_dtype=self.compute_dtype)
+        t0, last = time.time(), start_step
+        loss_sum, loss_n = 0.0, 0
+        for step in range(start_step, self.num_steps):
+            batch = next(batches)
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, batch, sub)
+            loss = float(metrics["loss"])
+            if loss != loss:  # NaN guard (train.py:260)
+                raise FloatingPointError(f"NaN loss at step {step}")
+            loss_sum, loss_n = loss_sum + loss, loss_n + 1
+            if (step + 1) % self.log_every == 0 or step + 1 == self.num_steps:
+                dt = time.time() - t0
+                sps = (step + 1 - last) / max(dt, 1e-9)
+                lr = float(self.lr_schedule(jnp.asarray(step)))
+                log.info("step %d/%d loss=%.4f (avg %.4f) lr=%.3e "
+                         "%.2f it/s", step + 1, self.num_steps, loss,
+                         loss_sum / loss_n, lr, sps)
+                t0, last = time.time(), step + 1
+                loss_sum, loss_n = 0.0, 0
+            in_window = (step + 1) >= self.save_steps
+            if self.snapshot_hook and (
+                    (in_window and (step + 1) % self.save_pred_every == 0)
+                    or step + 1 == self.num_steps):
+                self.snapshot_hook(state, step + 1)
+        return state

@@ -1,0 +1,248 @@
+"""Loss functions: CE + deep supervision, OHEM, GSRL.
+
+All fully on-device (NHWC logits, integer label maps).  Functional
+equivalents of reference loss/criterion.py + loss/ohem.py:
+
+* ``CriterionDSN``     -> :func:`ce_dsn`       (criterion.py:48-74)
+* ``CriterionOhemDSN`` -> :func:`ohem_dsn`     (ohem.py:95-119) — the
+  reference mines hard examples on the host with scipy at 1/8 resolution
+  (ohem.py:20-48); here the threshold search is a single on-device sort of
+  the downsampled true-class probabilities, so the whole loss stays inside
+  the jitted train step.
+* ``CriterionGsrlDSN`` -> :func:`gsrl_dsn`     (criterion.py:77-101) — the
+  distribution-calibrated long-tail loss.
+
+Every loss returns a dict with key ``'loss'`` (reference convention).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dcfp_tpu.ops.resize import resize_bilinear
+
+
+def _per_pixel_ce(logits: jnp.ndarray, labels: jnp.ndarray,
+                  ignore_label: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(nll, valid_mask); nll is zero-filled at ignored pixels."""
+    valid = labels != ignore_label
+    safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.where(valid, nll, 0.0), valid
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray, *,
+                  ignore_label: int = 255,
+                  class_weights: Optional[jnp.ndarray] = None
+                  ) -> jnp.ndarray:
+    """Mean CE over valid pixels; matches torch CrossEntropyLoss semantics
+    (weighted mean normalizes by the sum of applied class weights)."""
+    nll, valid = _per_pixel_ce(logits, labels, ignore_label)
+    if class_weights is not None:
+        safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+        w = jnp.asarray(class_weights, jnp.float32)[safe] * valid
+    else:
+        w = valid.astype(jnp.float32)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
+
+
+# ---------------------------------------------------------------------------
+# OHEM
+# ---------------------------------------------------------------------------
+
+def ohem_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray, *,
+                       ignore_label: int = 255, thresh: float = 0.7,
+                       min_kept: int = 100000, factor: int = 8,
+                       class_weights: Optional[jnp.ndarray] = None
+                       ) -> jnp.ndarray:
+    """Online hard example mining CE (reference loss/ohem.py:9-93).
+
+    Semantics preserved: estimate a probability threshold on a 1/``factor``
+    downsampled copy — the k-th smallest true-class probability among valid
+    pixels with k = min_kept / factor^2, floored at ``thresh`` — then keep
+    only full-resolution pixels whose true-class prob <= threshold and
+    average CE over them.  Runs entirely on device with static shapes.
+    """
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    probs = jax.lax.stop_gradient(probs)
+
+    # threshold search at 1/factor resolution (ohem.py:20-48)
+    small_probs = resize_bilinear(probs, (max(probs.shape[1] // factor, 1),
+                                          max(probs.shape[2] // factor, 1)))
+    small_labels = labels[:, ::factor, ::factor]
+    small_labels = small_labels[:, :small_probs.shape[1],
+                                :small_probs.shape[2]]
+    valid_s = small_labels != ignore_label
+    safe_s = jnp.where(valid_s, small_labels, 0).astype(jnp.int32)
+    p_true_s = jnp.take_along_axis(small_probs, safe_s[..., None],
+                                   axis=-1)[..., 0]
+    p_sorted = jnp.sort(jnp.where(valid_s, p_true_s, jnp.inf).ravel())
+    k = max(min(min_kept // (factor * factor), p_sorted.size), 1)
+    kth = p_sorted[k - 1]
+    num_valid = jnp.sum(valid_s)
+    threshold = jnp.where(
+        num_valid <= k, 1.0,
+        jnp.where(jnp.isfinite(kth), jnp.maximum(kth, thresh), 1.0))
+
+    # full-resolution mining + CE (ohem.py:51-93)
+    valid = labels != ignore_label
+    safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+    p_true = jnp.take_along_axis(probs, safe[..., None], axis=-1)[..., 0]
+    kept = valid & (p_true <= threshold)
+    mined = jnp.where(kept, labels, ignore_label)
+    return cross_entropy(logits, mined, ignore_label=ignore_label,
+                         class_weights=class_weights)
+
+
+# ---------------------------------------------------------------------------
+# GSRL (distribution-calibrated long-tail loss)
+# ---------------------------------------------------------------------------
+
+def gsrl_loss_terms(logits: jnp.ndarray, labels_ori: jnp.ndarray,
+                    pixel_weight: jnp.ndarray, *, ignore_label: int,
+                    k: int = 9, gamma: float = 9.0) -> jnp.ndarray:
+    """Shared GSRL weight map (criterion.py:86-93): 9x9 max-pool dilation of
+    the per-pixel class weight times a softmax-margin calibration factor."""
+    w = jax.lax.reduce_window(
+        pixel_weight.astype(jnp.float32), -jnp.inf, jax.lax.max,
+        window_dimensions=(1, k, k), window_strides=(1, 1, 1),
+        padding=((0, 0), (k // 2, k // 2), (k // 2, k // 2)))
+    score = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    top2, _ = jax.lax.top_k(score, 2)
+    calibrate = 1.0 + gamma * (1.0 - (top2[..., 0] - top2[..., 1]))
+    w = calibrate * w
+    w = jnp.where(labels_ori == ignore_label, 0.0, w)
+    return jax.lax.stop_gradient(w)
+
+
+def _gsrl_weighted_ce(logits, labels_ori, weight, ignore_label):
+    nll, _ = _per_pixel_ce(logits, labels_ori, ignore_label)
+    num = jnp.sum(nll * weight, axis=(1, 2))
+    den = jnp.sum(weight, axis=(1, 2)) + 1e-8
+    return jnp.mean(num / den)
+
+
+# ---------------------------------------------------------------------------
+# DSN (deep supervision) wrappers — the public criterion API
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Criterion:
+    """Callable criterion: (preds, labels) -> {'loss': scalar}.
+
+    ``preds``: dict with 'pred' and optionally 'deepsup' (NHWC logits).
+    ``labels``: int map (N,H,W), or dict {'ori','weight'} when the dataset
+    attaches balance weights (reference datasets/Base.py:73-89).
+    """
+    fn: Callable
+    name: str
+
+    def __call__(self, preds, labels) -> Dict[str, jnp.ndarray]:
+        return self.fn(preds, labels)
+
+
+def _labels_ori(labels):
+    return labels["ori"] if isinstance(labels, dict) else labels
+
+
+def ce_dsn(ignore_label: int = 255, ds_weight: float = 0.4,
+           class_weights=None) -> Criterion:
+    """CE + auxiliary deep-supervision CE (criterion.py:48-74)."""
+    cw = None if class_weights is None else jnp.asarray(class_weights)
+
+    def fn(preds, labels):
+        y = _labels_ori(labels)
+        loss = cross_entropy(preds["pred"], y, ignore_label=ignore_label,
+                             class_weights=cw)
+        if "deepsup" in preds:
+            loss = loss + ds_weight * cross_entropy(
+                preds["deepsup"], y, ignore_label=ignore_label,
+                class_weights=cw)
+        return {"loss": loss}
+
+    return Criterion(fn, "ce")
+
+
+def ohem_dsn(ignore_label: int = 255, ds_weight: float = 0.4,
+             ohem_thres: float = 0.7, ohem_keep: int = 100000,
+             class_weights=None) -> Criterion:
+    """OHEM main head + plain CE deepsup (ohem.py:95-119)."""
+    cw = None if class_weights is None else jnp.asarray(class_weights)
+
+    def fn(preds, labels):
+        y = _labels_ori(labels)
+        loss = ohem_cross_entropy(preds["pred"], y,
+                                  ignore_label=ignore_label,
+                                  thresh=ohem_thres, min_kept=ohem_keep,
+                                  class_weights=cw)
+        if "deepsup" in preds:
+            loss = loss + ds_weight * cross_entropy(
+                preds["deepsup"], y, ignore_label=ignore_label,
+                class_weights=cw)
+        return {"loss": loss}
+
+    return Criterion(fn, "ohem")
+
+
+def gsrl_dsn(ignore_label: int = 255, ds_weight: float = 0.4, k: int = 9,
+             gamma: float = 9.0) -> Criterion:
+    """Distribution-calibrated loss (criterion.py:77-101).  Requires dict
+    labels {'ori','weight'} from a balance-enabled dataset."""
+
+    def fn(preds, labels):
+        y, pw = labels["ori"], labels["weight"]
+        w = gsrl_loss_terms(preds["pred"], y, pw, ignore_label=ignore_label,
+                            k=k, gamma=gamma)
+        loss = _gsrl_weighted_ce(preds["pred"], y, w, ignore_label)
+        if "deepsup" in preds:
+            loss = loss + ds_weight * _gsrl_weighted_ce(
+                preds["deepsup"], y, w, ignore_label)
+        return {"loss": loss}
+
+    return Criterion(fn, "gsrl")
+
+
+def combined(criterions) -> Criterion:
+    """Sum of criteria for comma-joined loss types (criterion.py:30-45)."""
+
+    def fn(preds, labels):
+        total = 0.0
+        for c in criterions:
+            total = total + c(preds, labels)["loss"]
+        return {"loss": total}
+
+    return Criterion(fn, "+".join(c.name for c in criterions))
+
+
+def build_criterions(loss_type: str, *, ignore_label: int = 255,
+                     class_weights=None, loss_para: Optional[dict] = None
+                     ) -> Criterion:
+    """Registry dispatch (criterion.py:11-27), comma-joined combos allowed."""
+    loss_para = dict(loss_para or {})
+    balance_weight = loss_para.pop("balance_weight", False)
+    cw = class_weights if balance_weight else None
+
+    def one(lt: str) -> Criterion:
+        if lt == "ce":
+            return ce_dsn(ignore_label=ignore_label, class_weights=cw,
+                          **{k: v for k, v in loss_para.items()
+                             if k in ("ds_weight",)})
+        if lt == "ohem":
+            kw = {k: v for k, v in loss_para.items()
+                  if k in ("ds_weight", "ohem_thres", "ohem_keep")}
+            return ohem_dsn(ignore_label=ignore_label, class_weights=cw,
+                            **kw)
+        if lt == "gsrl":
+            kw = {k: v for k, v in loss_para.items()
+                  if k in ("ds_weight", "k", "gamma")}
+            return gsrl_dsn(ignore_label=ignore_label, **kw)
+        raise NotImplementedError(lt)
+
+    parts = [one(lt.strip()) for lt in loss_type.split(",")]
+    return parts[0] if len(parts) == 1 else combined(parts)

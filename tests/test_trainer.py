@@ -1,0 +1,151 @@
+"""Trainer tests: optimizer parity vs torch, loss descent, EIC semantics,
+and the SyncBN/data-parallel invariant on a virtual 8-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dcfp_tpu.engine.optim import build_optimizer, poly_warmup_schedule
+from dcfp_tpu.engine.trainer import (TrainState, create_train_state,
+                                     make_train_step)
+from dcfp_tpu.graph.apply import graph_apply, init_graph
+from dcfp_tpu.graph.ir import GraphBuilder
+from dcfp_tpu.losses.criteria import build_criterions
+from dcfp_tpu.models.heads import SegModel
+from dcfp_tpu.parallel.mesh import create_mesh, shard_batch
+
+
+def tiny_model(num_classes=5, deepsup=False):
+    b = GraphBuilder("tiny")
+    x = b.input("image")
+    x = b.conv(x, "c1", out_ch=8, kernel=3)
+    x = b.bn(x, "n1")
+    x = b.relu(x, "r1")
+    x = b.conv(x, "c2", out_ch=8, kernel=3)
+    x = b.bn(x, "n2")
+    x = b.relu(x, "r2")
+    pred = b.conv(x, "pred", out_ch=num_classes, kernel=1, padding=0,
+                  bias=True)
+    outs = [pred]
+    if deepsup:
+        d = b.conv(x, "deepsup", out_ch=num_classes, kernel=1, padding=0,
+                   bias=True)
+        outs.append(d)
+    g = b.finish(outs)
+    g.ignore_prune = []
+    return SegModel(g, "tiny", "none", num_classes, False, deepsup, {}, {})
+
+
+def make_batch(rng, n=8, hw=16, c=5):
+    img = rng.standard_normal((n, hw, hw, 3), dtype=np.float32)
+    lab = rng.integers(0, c, (n, hw, hw)).astype(np.int32)
+    return {"img": jnp.asarray(img), "label": jnp.asarray(lab)}
+
+
+def test_sgd_momentum_wd_matches_torch(rng):
+    """Our optax chain must reproduce torch.optim.SGD(momentum, wd) with the
+    poly LR applied per step (the reference's adjust_learning_rate)."""
+    import torch
+    w0 = rng.standard_normal((4, 3), dtype=np.float32)
+    steps, base_lr, wd, mom = 5, 0.1, 5e-4, 0.9
+    sched = poly_warmup_schedule(base_lr, 100, 0.9, warmup=2)
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.SGD([tw], lr=base_lr, momentum=mom, weight_decay=wd)
+    grads = [rng.standard_normal((4, 3), dtype=np.float32)
+             for _ in range(steps)]
+    for i, g in enumerate(grads):
+        for group in topt.param_groups:
+            group["lr"] = float(sched(jnp.asarray(i)))
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    tx = build_optimizer(optim="sgd", learning_rate=base_lr, momentum=mom,
+                         weight_decay=wd, num_steps=100, power=0.9, warmup=2)
+    p = {"w": jnp.asarray(w0)}
+    s = tx.init(p)
+    for g in grads:
+        upd, s = tx.update({"w": jnp.asarray(g)}, s, p)
+        p = optax.apply_updates(p, upd)
+    np.testing.assert_allclose(np.asarray(p["w"]), tw.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_train_step_descends_and_eic_updates(rng):
+    model = tiny_model(deepsup=True)
+    params, bn_state = init_graph(model.graph, jax.random.key(0))
+    tx = build_optimizer(optim="sgd", learning_rate=0.05, num_steps=100)
+    state = create_train_state(model, params, bn_state, tx,
+                               prune_type="dcfp")
+    crit = build_criterions("ce", ignore_label=255)
+    step = make_train_step(model, crit, tx)
+
+    batch = make_batch(rng)
+    key = jax.random.key(1)
+    losses = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        state, m = step(state, batch, sub)
+        losses.append(float(m["loss"]))
+    # random labels: CE floor is ln(5); expect steady descent, not collapse
+    assert losses[-1] < losses[0] - 0.05, losses
+    assert int(state.step) == 30
+    # EIC has accumulated on prunable BNs and stays non-negative
+    for name in ["n1", "n2"]:
+        e = np.asarray(state.eic[name])
+        assert (e >= 0).all() and e.sum() > 0
+
+
+def test_eic_matches_reference_formula(rng):
+    from dcfp_tpu.prune.eic import eic_update
+    g = rng.standard_normal(6).astype(np.float32)
+    w = rng.standard_normal(6).astype(np.float32)
+    eic0 = np.abs(rng.standard_normal(6)).astype(np.float32)
+    r = 0.99
+    got = np.asarray(eic_update(
+        {"bn": jnp.asarray(eic0)}, {"bn": {"scale": jnp.asarray(w)}},
+        {"bn": {"scale": jnp.asarray(g)}}, r)["bn"])
+    flag = (g * w) > 0
+    grad_tmp = flag * np.abs(g) + (~flag) * eic0
+    want = eic0 * r + grad_tmp * (1 - r)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_data_parallel_syncbn_invariant(rng):
+    """Train-step loss and updated params must be identical whether the
+    batch lives on one device or is sharded over an 8-device mesh — this is
+    the SyncBN + DDP-grad-allreduce parity property (reference engine.py:65
+    convert_sync_batchnorm + DDP)."""
+    assert len(jax.devices()) == 8
+    model = tiny_model()
+    params, bn_state = init_graph(model.graph, jax.random.key(0))
+    tx = build_optimizer(optim="sgd", learning_rate=0.05, num_steps=100)
+    crit = build_criterions("ce", ignore_label=255)
+    step = make_train_step(model, crit, tx)
+    batch = make_batch(rng, n=8)
+    key = jax.random.key(2)
+
+    s1 = create_train_state(model, params, bn_state, tx)
+    s1, m1 = step(s1, batch, key)
+
+    mesh = create_mesh(n_data=4, n_spatial=2)
+    sharded = shard_batch(mesh, batch)
+    # the train step donates its input state, so build s2 from fresh
+    # (identical) buffers rather than the now-consumed ones
+    params2, bn_state2 = init_graph(model.graph, jax.random.key(0))
+    s2 = create_train_state(model, params2, bn_state2, tx)
+    s2, m2 = step(s2, sharded, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for name in ["c1", "c2"]:
+        np.testing.assert_allclose(np.asarray(s1.params[name]["kernel"]),
+                                   np.asarray(s2.params[name]["kernel"]),
+                                   rtol=1e-4, atol=1e-6)
+    for name in ["n1", "n2"]:
+        np.testing.assert_allclose(np.asarray(s1.bn_state[name]["mean"]),
+                                   np.asarray(s2.bn_state[name]["mean"]),
+                                   rtol=1e-4, atol=1e-6)
