@@ -1,0 +1,146 @@
+"""Data pipeline tests on synthetic fixtures (no real datasets needed)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dcfp_tpu.data.datasets import (ADEDataset, CityscapesDataset,
+                                    COCOStuffDataset, ContextDataset,
+                                    build_dataset)
+from dcfp_tpu.data.label_index import build_label_index
+from dcfp_tpu.data.loader import EvalLoader, TrainLoader, collate
+from dcfp_tpu.data.synthetic import (make_cityscapes_fixture,
+                                     make_shifted_fixture)
+
+
+@pytest.fixture(scope="module")
+def cs_fixture(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cs"))
+    manifest = make_cityscapes_fixture(root, n_images=6, hw=(96, 128))
+    return root, manifest
+
+
+def test_cs_remap_matches_reference_dict(cs_fixture):
+    root, manifest = cs_fixture
+    ds = CityscapesDataset(root, manifest, split="train",
+                           crop_size=(64, 64))
+    raw = np.arange(0, 34, dtype=np.uint8).reshape(2, 17)
+    got = ds.id2trainId(raw)
+    # oracle: the reference's dict-loop semantics
+    want = raw.astype(np.int64).copy()
+    for k, v in CityscapesDataset.ID_TO_TRAINID.items():
+        want[raw == k] = v
+    np.testing.assert_array_equal(got, want)
+    # reverse remap round-trips non-void ids
+    fwd = ds.id2trainId(np.array([[7, 26, 33]], np.uint8))
+    back = ds.id2trainId(fwd, reverse=True)
+    np.testing.assert_array_equal(back, [[7, 26, 33]])
+
+
+def test_train_item_shapes_and_values(cs_fixture):
+    root, manifest = cs_fixture
+    ds = CityscapesDataset(root, manifest, split="train",
+                           crop_size=(64, 64), seed=1)
+    item = ds[0]
+    assert item["img"].shape == (64, 64, 3)
+    assert item["img"].dtype == np.float32
+    lab = item["label"]
+    assert lab.shape == (64, 64)
+    vals = set(np.unique(lab).tolist())
+    assert vals <= set(range(19)) | {255}
+
+
+def test_balance2_weight_formula(cs_fixture):
+    root, manifest = cs_fixture
+    ds = CityscapesDataset(root, manifest, split="train",
+                           crop_size=(64, 64), balance=2, beta=0.99)
+    lab = np.zeros((8, 8), np.int64)
+    lab[:4] = 3
+    lab[7, 7] = 255
+    labels = ds.get_label(lab, {"class": 3})
+    assert set(labels) == {"ori", "weight"}
+    counts = np.bincount(np.where(lab == 255, 19, lab).ravel(),
+                         minlength=20)[:-1]
+    want = (1 + 1e-8 - 0.99 ** counts[3]) / (1 + 1e-8 - 0.99 ** counts)
+    want = np.clip(want, 0, 1)
+    np.testing.assert_allclose(labels["weight"][0, 0], want[3], rtol=1e-6)
+    np.testing.assert_allclose(labels["weight"][5, 0], want[0], rtol=1e-6)
+    assert labels["weight"][7, 7] == 0.0  # ignore pixel
+
+
+def test_label_index_and_resample(cs_fixture, tmp_path):
+    root, manifest = cs_fixture
+    ds = CityscapesDataset(root, manifest, split="train",
+                           crop_size=(48, 48))
+    pkl = str(tmp_path / "label_index_CS.pkl")
+    index = build_label_index(ds, pkl)
+    assert index["label_f"].shape == (19,)
+
+    rds = CityscapesDataset(root, manifest, split="train",
+                            crop_size=(48, 48), resample=True, balance=2,
+                            label_index_path=pkl, seed=3)
+    rds.pre_processing(epoch=0)
+    present = int((index["label_f"] > 0).sum())
+    assert len(rds) == int(index["label_f"].max()) * present
+    item = rds[0]
+    assert "weight" in item["label"]
+    # deterministic across "processes": same seed+epoch -> same index
+    rds2 = CityscapesDataset(root, manifest, split="train",
+                             crop_size=(48, 48), resample=True, balance=2,
+                             label_index_path=pkl, seed=3)
+    rds2.pre_processing(epoch=0)
+    assert rds.file_index == rds2.file_index
+    assert rds.class_index == rds2.class_index
+    rds2.pre_processing(epoch=1)
+    assert rds.file_index != rds2.file_index  # epochs differ
+
+
+def test_train_loader_batches(cs_fixture):
+    root, manifest = cs_fixture
+    ds = CityscapesDataset(root, manifest, split="train",
+                           crop_size=(32, 32), seed=0)
+    loader = TrainLoader(ds, batch_size=4, prefetch=2)
+    it = iter(loader)
+    for _ in range(3):
+        batch = next(it)
+        assert batch["img"].shape == (4, 32, 32, 3)
+        assert batch["label"].shape == (4, 32, 32)
+        assert len(batch["img_meta"]) == 4
+    loader.stop()
+
+
+def test_val_loader(cs_fixture):
+    root, manifest = cs_fixture
+    ds = CityscapesDataset(root, manifest, split="val", crop_size=(64, 64))
+    loader = EvalLoader(ds, batch_size=1)
+    batches = list(loader)
+    assert len(batches) == 6
+    assert batches[0]["img"].shape == (1, 96, 128, 3)
+    assert batches[0]["label"].shape == (1, 96, 128)
+
+
+@pytest.mark.parametrize("fmt,cls,nc", [
+    ("CTX", ContextDataset, 59),
+    ("ADE", ADEDataset, 150),
+    ("COCO", COCOStuffDataset, 171),
+])
+def test_shifted_datasets(tmp_path, fmt, cls, nc):
+    root = str(tmp_path)
+    manifest = make_shifted_fixture(root, fmt=fmt, num_classes=nc)
+    ds = cls(root, manifest, split="train", crop_size=(48, 48))
+    assert ds.num_classes == nc
+    item = ds[0]
+    lab = item["label"]
+    vals = set(np.unique(lab).tolist())
+    assert vals <= set(range(nc)) | {255}
+    # raw 0 becomes ignore under the -1 shift
+    assert ds.id2trainId(np.zeros((2, 2), np.uint8))[0, 0] == 255
+
+
+def test_registry_dispatch(cs_fixture):
+    root, manifest = cs_fixture
+    ds = build_dataset("CS", root, manifest, split="val")
+    assert isinstance(ds, CityscapesDataset)
+    with pytest.raises(KeyError):
+        build_dataset("nope", root, manifest)
