@@ -1,0 +1,157 @@
+"""Deployment: AOT-compiled pruned inference (reference totrt.py parity).
+
+The reference exports the pruned model to a TensorRT fp16 engine
+(totrt.py:113-121) and benchmarks it (totrt.py:70-89).  TPU-native
+equivalents:
+
+* constant-fold BatchNorm into the preceding conv (what TensorRT's
+  builder does) — fewer params, fewer ops, one fused conv+bias per layer;
+* run in bfloat16 with float32 MXU accumulation (the fp16_mode analog);
+* AOT-compile at the fixed deploy resolution via
+  ``jax.jit(...).lower(...).compile()``;
+* serialize the compiled artifact with ``jax.export`` — the engine-file
+  analog, reloadable without model code;
+* optionally emit uint8 argmax on device so host transfer is num_pixels
+  bytes instead of num_pixels x classes x 4.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcfp_tpu.graph.apply import graph_apply
+from dcfp_tpu.graph.ir import Graph
+from dcfp_tpu.utils.logger import get_logger
+
+log = get_logger()
+
+
+# ---------------------------------------------------------------------------
+# BN folding
+# ---------------------------------------------------------------------------
+
+def fold_batchnorm(graph: Graph, params: Dict, state: Dict
+                   ) -> Tuple[Graph, Dict, Dict]:
+    """Fold every conv->bn pair into the conv (inference only):
+        W'[...,o] = W[...,o] * g[o]         g = scale / sqrt(var + eps)
+        b'[o]     = (b[o] - mean[o]) * g[o] + shift[o]
+    BNs become identity nodes; convs acquire a bias."""
+    new_graph = graph.copy()
+    new_params = {k: dict(v) for k, v in params.items()}
+    new_state = {k: dict(v) for k, v in state.items()}
+    folded = 0
+    for bn in graph.bn_nodes():
+        parent = bn.inputs[0]
+        pnode = graph.node(parent)
+        if pnode.op != "conv":
+            continue
+        if len(graph.consumers(parent)) != 1:
+            continue  # conv feeds others too; cannot fold safely
+        eps = bn.attrs["eps"]
+        scale = np.asarray(params[bn.name]["scale"], np.float64)
+        shift = np.asarray(params[bn.name]["bias"], np.float64)
+        mean = np.asarray(state[bn.name]["mean"], np.float64)
+        var = np.asarray(state[bn.name]["var"], np.float64)
+        g = scale / np.sqrt(var + eps)
+        kernel = np.asarray(new_params[parent]["kernel"], np.float64)
+        bias = np.asarray(new_params[parent].get(
+            "bias", np.zeros(kernel.shape[-1])), np.float64)
+        new_params[parent]["kernel"] = (kernel * g).astype(np.float32)
+        new_params[parent]["bias"] = ((bias - mean) * g +
+                                      shift).astype(np.float32)
+        new_graph.node(parent).attrs["bias"] = True
+        # bn becomes a passthrough
+        nb = new_graph.node(bn.name)
+        nb.op = "identity"
+        nb.attrs = {}
+        del new_params[bn.name]
+        del new_state[bn.name]
+        folded += 1
+    log.info("folded %d BN layers into convs", folded)
+    return new_graph, new_params, new_state
+
+
+# ---------------------------------------------------------------------------
+# inference function + AOT compile
+# ---------------------------------------------------------------------------
+
+def make_inference_fn(graph: Graph, params: Dict, state: Dict, *,
+                      dtype=jnp.bfloat16, fold_bn: bool = True,
+                      output: str = "logits"):
+    """Returns (fn, params) where fn(params, image_NHWC) runs the deploy
+    forward.  ``output``: 'logits' (f32) or 'argmax' (uint8)."""
+    if fold_bn:
+        graph, params, state = fold_batchnorm(graph, params, state)
+    dev_params = jax.tree.map(
+        lambda x: jnp.asarray(x, dtype) if np.asarray(x).dtype.kind == "f"
+        else jnp.asarray(x), params)
+
+    def fn(p, image):
+        outs, _ = graph_apply(graph, p, state,
+                              {"image": image.astype(dtype)}, train=False)
+        pred = outs["pred"]
+        if output == "argmax":
+            return jnp.argmax(pred, axis=-1).astype(jnp.uint8)
+        return pred.astype(jnp.float32)
+
+    return fn, dev_params
+
+
+def aot_compile(fn, params, input_shape: Tuple[int, ...],
+                input_dtype=jnp.float32):
+    """Ahead-of-time compile at a fixed shape (the 'engine build')."""
+    spec = jax.ShapeDtypeStruct(input_shape, input_dtype)
+    pspec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
+    t0 = time.time()
+    compiled = jax.jit(fn).lower(pspec, spec).compile()
+    log.info("AOT compile took %.1fs", time.time() - t0)
+    return compiled
+
+
+def export_serialized(fn, params, input_shape: Tuple[int, ...], path: str,
+                      input_dtype=jnp.float32) -> None:
+    """Serialize the lowered computation (StableHLO) to disk — the
+    TRT-engine-file analog (totrt.py:122 saves the engine state dict)."""
+    from jax import export as jexport
+    spec = jax.ShapeDtypeStruct(input_shape, input_dtype)
+    pspec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
+    exported = jexport.export(jax.jit(fn))(pspec, spec)
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    log.info("serialized %d-byte executable to %s", len(blob), path)
+
+
+def load_serialized(path: str):
+    from jax import export as jexport
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    return exported.call
+
+
+# ---------------------------------------------------------------------------
+# latency benchmark (totrt.py:70-89: 10 warmup + 50 timed)
+# ---------------------------------------------------------------------------
+
+def benchmark(run, example_input, *, warmup: int = 10, iters: int = 50
+              ) -> Dict[str, float]:
+    for _ in range(warmup):
+        out = run(example_input)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(example_input)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    batch = example_input.shape[0]
+    ms = elapsed / iters * 1000.0
+    ips = batch * iters / elapsed
+    log.info("latency: %.2f ms/batch, %.2f img/s", ms, ips)
+    return {"ms_per_batch": ms, "images_per_sec": ips}

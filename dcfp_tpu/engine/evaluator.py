@@ -1,0 +1,270 @@
+"""Evaluation harness: whole-image / sliding-window / multi-scale + flip
+inference, confusion-matrix metrics, boundary IoU, FPS.
+
+TPU-native redesign of reference evaluate.py:
+* forwards are jitted per input shape (shape cache) with stride-8 padding
+  (pad_inf, evaluate.py:119-130) keeping the shape set small;
+* sliding-window tiles are gathered into ONE batched forward instead of a
+  python double loop of single-tile forwards (evaluate.py:145-184) — the
+  MXU sees a full batch, overlap averaging happens once on host;
+* timing brackets use ``block_until_ready`` (the XLA analog of
+  ``cuda.synchronize``, evaluate.py:327-337) with the same 5-iteration
+  warmup exclusion;
+* the confusion matrix is one vectorized bincount (evaluate.py:229-247).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcfp_tpu.graph.apply import graph_apply
+from dcfp_tpu.ops.resize import resize_bilinear
+from dcfp_tpu.utils.edge import mask_to_boundary
+from dcfp_tpu.utils.logger import get_logger
+
+log = get_logger()
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+def confusion_matrix(gt: np.ndarray, pred: np.ndarray, num_classes: int,
+                     ignore_label: int = 255) -> np.ndarray:
+    valid = gt != ignore_label
+    gt = gt[valid].astype(np.int64)
+    pred = pred[valid].astype(np.int64)
+    idx = gt * num_classes + pred
+    return np.bincount(idx, minlength=num_classes * num_classes).reshape(
+        num_classes, num_classes).astype(np.float64)
+
+
+def metrics_from_confusion(cm: np.ndarray) -> Dict:
+    """meanIU / per-class IU / precision / recall
+    (reference evaluate.py:373-381)."""
+    pos = cm.sum(1)
+    res = cm.sum(0)
+    tp = np.diag(cm)
+    iu_array = tp / np.maximum(1.0, pos + res - tp)
+    return {
+        "meanIU": float(iu_array.mean()),
+        "IU_array": iu_array,
+        "meanP": float((tp / (res + 1e-5)).mean()),
+        "precision": tp / (res + 1e-5),
+        "meanR": float((tp / (pos + 1e-5)).mean()),
+        "recall": tp / (pos + 1e-5),
+    }
+
+
+def pad_inf(image_hw: Tuple[int, int], stride: int = 8
+            ) -> Tuple[int, int]:
+    """Padded (H, W): to stride+1 modulo stride (evaluate.py:119-130)."""
+    h, w = image_hw
+    pad_h = (stride + 1 - h % stride) % stride
+    pad_w = (stride + 1 - w % stride) % stride
+    return h + pad_h, w + pad_w
+
+
+# ---------------------------------------------------------------------------
+# predictor
+# ---------------------------------------------------------------------------
+
+class Predictor:
+    """Shape-cached jitted forward over a (graph, params, state) triple."""
+
+    def __init__(self, graph, params, state, dtype=jnp.float32):
+        self.graph = graph
+        self.params = params
+        self.state = state
+        self.dtype = dtype
+
+        def fwd(params, state, image):
+            outs, _ = graph_apply(graph, params, state,
+                                  {"image": image.astype(dtype)},
+                                  train=False)
+            return outs["pred"].astype(jnp.float32)
+
+        self._fwd = jax.jit(fwd)
+
+    def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
+        return self._fwd(self.params, self.state, image)
+
+    # -- whole image -------------------------------------------------------
+    def predict_whole(self, image: np.ndarray) -> jnp.ndarray:
+        return self(jnp.asarray(image))
+
+    # -- sliding window (evaluate.py:145-184), batched tiles ----------------
+    def predict_sliding(self, image: np.ndarray, tile_size: Tuple[int, int],
+                        num_classes: int, overlap: float = 1 / 3
+                        ) -> np.ndarray:
+        n, h, w, _ = image.shape
+        th, tw = tile_size
+        stride = int(math.ceil(th * (1 - overlap)))
+        rows = int(math.ceil(max(h - th, 0) / stride) + 1)
+        cols = int(math.ceil(max(w - tw, 0) / stride) + 1)
+        boxes = []
+        for r in range(rows):
+            for c in range(cols):
+                x2 = min(c * stride + tw, w)
+                y2 = min(r * stride + th, h)
+                x1 = max(x2 - tw, 0)
+                y1 = max(y2 - th, 0)
+                boxes.append((y1, x1, y2, x2))
+        tiles = np.zeros((len(boxes), n, th, tw, image.shape[-1]),
+                         image.dtype)
+        for i, (y1, x1, y2, x2) in enumerate(boxes):
+            tiles[i, :, :y2 - y1, :x2 - x1] = image[:, y1:y2, x1:x2]
+        # one batched forward over all tiles
+        logits = self(jnp.asarray(tiles.reshape(-1, th, tw,
+                                                image.shape[-1])))
+        logits = np.asarray(logits).reshape(len(boxes), n, th, tw, -1)
+        full = np.zeros((n, h, w, num_classes), np.float32)
+        count = np.zeros((1, h, w, 1), np.float32)
+        for i, (y1, x1, y2, x2) in enumerate(boxes):
+            full[:, y1:y2, x1:x2] += logits[i, :, :y2 - y1, :x2 - x1]
+            count[0, y1:y2, x1:x2] += 1.0
+        return full / count
+
+    # -- multi-scale + flip (evaluate.py:198-227) ---------------------------
+    def predict_multiscale(self, image: np.ndarray,
+                           tile_size: Tuple[int, int],
+                           scales: Sequence[float], num_classes: int,
+                           flip: bool, align_corner: bool,
+                           whole: bool) -> np.ndarray:
+        n, h, w, _ = image.shape
+        full = np.zeros((n, h, w, num_classes), np.float32)
+        for scale in scales:
+            hs, ws = int(h * float(scale)), int(w * float(scale))
+            scaled = np.asarray(resize_bilinear(
+                jnp.asarray(image), (hs, ws), align_corners=align_corner))
+            if whole:
+                probs = np.asarray(self.predict_whole(scaled))
+            else:
+                probs = self.predict_sliding(scaled, tile_size, num_classes)
+            if flip:
+                flipped = scaled[:, :, ::-1]
+                if whole:
+                    fp = np.asarray(self.predict_whole(flipped))
+                else:
+                    fp = self.predict_sliding(flipped, tile_size,
+                                              num_classes)
+                probs = 0.5 * (probs + fp[:, :, ::-1])
+            probs = np.asarray(resize_bilinear(
+                jnp.asarray(probs), (h, w), align_corners=align_corner))
+            full += probs
+        return full / len(scales)
+
+
+# ---------------------------------------------------------------------------
+# evaluation loop
+# ---------------------------------------------------------------------------
+
+def evaluate(predictor: Predictor, loader: Iterable, *, num_classes: int,
+             ignore_label: int = 255, whole: bool = True,
+             scales: Sequence[float] = (1.0,), flip: bool = False,
+             align_corner: bool = False,
+             tile_size: Tuple[int, int] = (769, 769),
+             longsize: int = -1, shortsize: int = -1,
+             iou_type: str = "mask", dilation_ratio: float = 0.02,
+             fps_warmup: int = 5,
+             save_predict_dir: Optional[str] = None,
+             cmap: Optional[np.ndarray] = None,
+             result_file: Optional[str] = None,
+             result_tag: str = "") -> Dict:
+    cm = np.zeros((num_classes, num_classes), np.float64)
+    pure_inf_time, fps = 0.0, 0.0
+    n_imgs = 0
+    for idx, batch in enumerate(loader):
+        image = batch["img"]  # NHWC float32
+        label = batch.get("label")
+        metas = batch.get("img_meta", [{}] * image.shape[0])
+        orig_hw = image.shape[1:3]
+        if longsize > 0 or shortsize > 0:
+            size, mode = ((longsize, "long") if longsize > 0
+                          else (shortsize, "short"))
+            f = (size / max(orig_hw) if mode == "long"
+                 else size / min(orig_hw))
+            new_hw = (int(orig_hw[0] * f + 0.5), int(orig_hw[1] * f + 0.5))
+            image = np.asarray(resize_bilinear(jnp.asarray(image), new_hw))
+        size_scale = image.shape[1:3]
+        if whole and align_corner:
+            ph, pw = pad_inf(size_scale)
+            if (ph, pw) != size_scale:
+                image = np.pad(image, ((0, 0), (0, ph - size_scale[0]),
+                                       (0, pw - size_scale[1]), (0, 0)))
+
+        t0 = time.perf_counter()
+        if whole and tuple(scales) == (1.0,) and not flip:
+            out = predictor.predict_whole(image)
+            out.block_until_ready()
+            out = np.asarray(out)
+        else:
+            out = predictor.predict_multiscale(
+                image, tile_size, scales, num_classes, flip, align_corner,
+                whole)
+        elapsed = time.perf_counter() - t0
+
+        out = out[:, :size_scale[0], :size_scale[1]]
+        if longsize > 0 or shortsize > 0:
+            out = np.asarray(resize_bilinear(jnp.asarray(out), orig_hw))
+        seg_pred = np.argmax(out, axis=-1).astype(np.uint8)
+
+        if save_predict_dir:
+            os.makedirs(save_predict_dir, exist_ok=True)
+            from PIL import Image as PILImage
+            palette = (list(np.asarray(cmap, np.uint8).reshape(-1))
+                       if cmap is not None else None)
+            for i in range(seg_pred.shape[0]):
+                im = PILImage.fromarray(seg_pred[i])
+                if palette:
+                    im.putpalette(palette)
+                name = metas[i].get("name", f"{idx}_{i}")
+                im.save(os.path.join(save_predict_dir, f"{name}.png"))
+
+        if label is not None:
+            seg_gt = np.asarray(label, np.int64)
+            sp = seg_pred.astype(np.int64)
+            if iou_type == "boundary":
+                sp = sp.copy()
+                seg_gt = seg_gt.copy()
+                for i in range(sp.shape[0]):
+                    sp[i] = mask_to_boundary(sp[i], num_classes,
+                                             dilation_ratio, ignore_label)
+                    seg_gt[i] = mask_to_boundary(seg_gt[i], num_classes,
+                                                 dilation_ratio,
+                                                 ignore_label)
+            cm += confusion_matrix(seg_gt, sp, num_classes, ignore_label)
+
+        if idx >= fps_warmup:
+            pure_inf_time += elapsed
+            n_imgs += image.shape[0]
+            fps = n_imgs / pure_inf_time
+        if (idx + 1) % 25 == 0:
+            log.info("eval %d: FPS %.2f img/s", idx + 1, fps)
+
+    result = metrics_from_confusion(cm)
+    result["fps"] = fps
+    result["confusion"] = cm
+    log.info("meanIU=%.4f meanP=%.4f meanR=%.4f FPS=%.2f",
+             result["meanIU"], result["meanP"], result["meanR"], fps)
+    if result_file:
+        with open(result_file, "a") as f:
+            f.write(f"test with {result_tag}\n")
+            f.write(json.dumps({"meanIU": result["meanIU"],
+                                "IU_array": result["IU_array"].tolist()}))
+            f.write("\n")
+            f.write(json.dumps({"meanP": result["meanP"],
+                                "p": result["precision"].tolist()}))
+            f.write("\n")
+            f.write(json.dumps({"meanR": result["meanR"],
+                                "r": result["recall"].tolist()}))
+            f.write(f" FPS: {fps:.2f} img / s\n--------\n")
+    return result

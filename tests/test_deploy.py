@@ -1,0 +1,105 @@
+"""Deploy-path tests: BN folding exactness, AOT compile, serialization
+round-trip, latency benchmark harness."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dcfp_tpu.engine.deploy import (aot_compile, benchmark,
+                                    export_serialized, fold_batchnorm,
+                                    load_serialized, make_inference_fn)
+from dcfp_tpu.graph.apply import graph_apply, init_graph
+from dcfp_tpu.graph.ir import GraphBuilder
+
+
+def small_net(num_classes=4):
+    b = GraphBuilder("net")
+    x = b.input("image")
+    x = b.conv(x, "c1", out_ch=8, kernel=3)
+    x = b.bn(x, "n1")
+    x = b.relu(x, "r1")
+    c = b.conv(x, "c2", out_ch=8, kernel=3)
+    c = b.bn(c, "n2")
+    s = b.add_([c, x], "sum")
+    x = b.relu(s, "r2")
+    pred = b.conv(x, "pred", out_ch=num_classes, kernel=1, padding=0,
+                  bias=True)
+    return b.finish([pred])
+
+
+def randomized_bn(g, rng):
+    params, state = init_graph(g, jax.random.key(0))
+    params = jax.tree.map(np.asarray, params)
+    state = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+             for k, v in state.items()}
+    for bn in [n.name for n in g.bn_nodes()]:
+        ch = g.node(bn).attrs["channels"]
+        params[bn]["scale"] = rng.standard_normal(ch).astype(np.float32)
+        params[bn]["bias"] = rng.standard_normal(ch).astype(np.float32)
+        state[bn]["mean"] = rng.standard_normal(ch).astype(np.float32)
+        state[bn]["var"] = (np.abs(rng.standard_normal(ch)) + 0.3
+                            ).astype(np.float32)
+    return params, state
+
+
+def test_bn_folding_exact(rng):
+    g = small_net()
+    params, state = randomized_bn(g, rng)
+    x = rng.standard_normal((2, 15, 15, 3), dtype=np.float32)
+    want, _ = graph_apply(g, params, state, {"image": jnp.asarray(x)},
+                          train=False)
+    fg, fp, fs = fold_batchnorm(g, params, state)
+    assert not fs  # everything folded
+    got, _ = graph_apply(fg, fp, fs, {"image": jnp.asarray(x)}, train=False)
+    np.testing.assert_allclose(np.asarray(got["pred"]),
+                               np.asarray(want["pred"]), rtol=1e-4,
+                               atol=1e-4)
+    # params shrank: no BN tensors remain
+    assert all(not k.startswith("n") for k in fp)
+
+
+def test_inference_fn_bf16_and_argmax(rng):
+    g = small_net()
+    params, state = randomized_bn(g, rng)
+    x = rng.standard_normal((1, 16, 16, 3), dtype=np.float32)
+    fn, p = make_inference_fn(g, params, state, dtype=jnp.bfloat16,
+                              output="logits")
+    logits = fn(p, jnp.asarray(x))
+    assert logits.dtype == jnp.float32
+    # bf16 forward tracks the f32 forward loosely
+    want, _ = graph_apply(g, params, state, {"image": jnp.asarray(x)})
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want["pred"]),
+                               rtol=0.1, atol=0.15)
+    fn2, p2 = make_inference_fn(g, params, state, output="argmax")
+    am = fn2(p2, jnp.asarray(x))
+    assert am.dtype == jnp.uint8 and am.shape == (1, 16, 16)
+
+
+def test_aot_and_benchmark(rng):
+    g = small_net()
+    params, state = randomized_bn(g, rng)
+    fn, p = make_inference_fn(g, params, state, dtype=jnp.float32)
+    compiled = aot_compile(fn, p, (1, 16, 16, 3))
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 3), dtype=np.float32))
+    out = compiled(p, x)
+    eager = fn(p, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(eager),
+                               rtol=1e-5, atol=1e-5)
+    stats = benchmark(lambda img: compiled(p, img), x, warmup=2, iters=5)
+    assert stats["ms_per_batch"] > 0 and stats["images_per_sec"] > 0
+
+
+def test_serialize_roundtrip(rng, tmp_path):
+    g = small_net()
+    params, state = randomized_bn(g, rng)
+    fn, p = make_inference_fn(g, params, state, dtype=jnp.float32)
+    path = str(tmp_path / "engine.bin")
+    export_serialized(fn, p, (1, 16, 16, 3), path)
+    run = load_serialized(path)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 3), dtype=np.float32))
+    got = run(p, x)
+    want = fn(p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

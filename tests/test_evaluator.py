@@ -1,0 +1,128 @@
+"""Evaluator tests: confusion math, sliding/multiscale consistency,
+boundary IoU, and an end-to-end eval loop."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dcfp_tpu.engine.evaluator import (Predictor, confusion_matrix,
+                                       evaluate, metrics_from_confusion,
+                                       pad_inf)
+from dcfp_tpu.graph.apply import init_graph
+from dcfp_tpu.graph.ir import GraphBuilder
+from dcfp_tpu.utils.edge import mask_to_boundary
+
+
+def pointwise_model(num_classes=6):
+    """1x1-conv model: per-pixel function -> sliding == whole exactly."""
+    b = GraphBuilder("pw")
+    x = b.input("image")
+    x = b.conv(x, "c1", out_ch=8, kernel=1, padding=0)
+    x = b.bn(x, "n1")
+    x = b.relu(x, "r1")
+    pred = b.conv(x, "pred", out_ch=num_classes, kernel=1, padding=0,
+                  bias=True)
+    g = b.finish([pred])
+    return g
+
+
+def make_predictor(g, seed=0):
+    params, state = init_graph(g, jax.random.key(seed))
+    return Predictor(g, params, state)
+
+
+def test_confusion_matrix_matches_reference_math(rng):
+    """Oracle: the reference's bincount-per-cell loop
+    (evaluate.py:229-247)."""
+    C = 5
+    gt = rng.integers(0, C, 1000)
+    pred = rng.integers(0, C, 1000)
+    got = confusion_matrix(gt, pred, C, ignore_label=255)
+    want = np.zeros((C, C))
+    index = (gt * C + pred).astype("int32")
+    label_count = np.bincount(index)
+    for i in range(C):
+        for j in range(C):
+            cur = i * C + j
+            if cur < len(label_count):
+                want[i, j] = label_count[cur]
+    np.testing.assert_array_equal(got, want)
+    # ignore pixels excluded
+    gt2 = gt.copy()
+    gt2[:100] = 255
+    got2 = confusion_matrix(gt2, pred, C)
+    assert got2.sum() == 900
+
+
+def test_metrics_from_confusion():
+    cm = np.array([[8., 2.], [1., 9.]])
+    m = metrics_from_confusion(cm)
+    iu0 = 8 / (10 + 9 - 8)
+    iu1 = 9 / (10 + 11 - 9)
+    np.testing.assert_allclose(m["IU_array"], [iu0, iu1], rtol=1e-6)
+    np.testing.assert_allclose(m["meanIU"], (iu0 + iu1) / 2, rtol=1e-6)
+
+
+def test_pad_inf():
+    assert pad_inf((1024, 2048)) == (1025, 2049)
+    assert pad_inf((1025, 2049)) == (1025, 2049)
+    assert pad_inf((769, 769)) == (769, 769)
+
+
+def test_sliding_equals_whole_for_pointwise_model(rng):
+    g = pointwise_model()
+    p = make_predictor(g)
+    img = rng.standard_normal((1, 50, 70, 3), dtype=np.float32)
+    whole = np.asarray(p.predict_whole(img))
+    slid = p.predict_sliding(img, (32, 32), num_classes=6)
+    np.testing.assert_allclose(slid, whole, rtol=1e-4, atol=1e-5)
+
+
+def test_multiscale_single_scale_equals_whole(rng):
+    g = pointwise_model()
+    p = make_predictor(g)
+    img = rng.standard_normal((1, 40, 40, 3), dtype=np.float32)
+    whole = np.asarray(p.predict_whole(img))
+    ms = p.predict_multiscale(img, (32, 32), [1.0], 6, flip=False,
+                              align_corner=False, whole=True)
+    np.testing.assert_allclose(ms, whole, rtol=1e-4, atol=1e-5)
+    # pointwise model is flip-equivariant -> flip averaging is a no-op
+    ms_flip = p.predict_multiscale(img, (32, 32), [1.0], 6, flip=True,
+                                   align_corner=False, whole=True)
+    np.testing.assert_allclose(ms_flip, whole, rtol=1e-4, atol=1e-5)
+
+
+def test_mask_to_boundary():
+    mask = np.full((40, 40), 255, np.int64)
+    mask[5:35, 5:35] = 1
+    b = mask_to_boundary(mask, num_classes=3, dilation_ratio=0.02)
+    # interior hollowed out to background
+    assert b[20, 20] == 255
+    # boundary ring keeps the class id
+    assert b[5, 20] == 1
+    assert (b == 1).sum() < (mask == 1).sum()
+
+
+def test_evaluate_end_to_end(rng, tmp_path):
+    g = pointwise_model()
+    p = make_predictor(g)
+
+    def loader():
+        r = np.random.default_rng(0)
+        for i in range(8):
+            yield {"img": r.standard_normal((1, 33, 45, 3),
+                                            dtype=np.float32),
+                   "label": r.integers(0, 6, (1, 33, 45)),
+                   "img_meta": [{"name": f"im{i}"}]}
+
+    result_file = str(tmp_path / "result.txt")
+    res = evaluate(p, loader(), num_classes=6, whole=True,
+                   align_corner=True, fps_warmup=2,
+                   result_file=result_file, result_tag="unit")
+    assert 0.0 <= res["meanIU"] <= 1.0
+    assert res["fps"] > 0
+    assert res["confusion"].sum() == 8 * 33 * 45
+    text = open(result_file).read()
+    assert "meanIU" in text and "FPS" in text
