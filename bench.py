@@ -1,0 +1,87 @@
+"""Headline benchmark: pruned-model throughput at deploy resolution.
+
+Mirrors the reference deploy benchmark (totrt.py:70-89: TensorRT fp16,
+batch 1, 1025x2049, 10 warmup + 50 timed): DeepLabV3-ResNet101 is pruned
+to 50% FLOPs (the BASELINE.md north-star config), BatchNorm is folded,
+the model is AOT-compiled in bfloat16 with on-device argmax output, and
+images/sec is measured with block_until_ready bracketing.
+
+``vs_baseline`` is the pruned model's throughput relative to the
+*unpruned* model through the identical deploy path — the speedup the
+pruning pipeline buys, measured on the same chip.
+
+Prints ONE JSON line.
+"""
+
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from dcfp_tpu.engine.deploy import aot_compile, benchmark, \
+        make_inference_fn
+    from dcfp_tpu.graph.apply import init_graph
+    from dcfp_tpu.models.registry import build_model
+    from dcfp_tpu.prune.eic import prunable_bn_names
+    from dcfp_tpu.prune.search import prune_to_flops
+
+    small = (os.environ.get("DCFP_BENCH_SMALL") == "1"
+             or jax.default_backend() == "cpu")
+    if small:
+        shape, warmup, iters = (1, 257, 513, 3), 2, 5
+    else:
+        shape, warmup, iters = (1, 1025, 2049, 3), 10, 50
+
+    model = build_model(
+        "deeplabv3", backbone="resnet101",
+        backbone_para={"os": 8, "mg_unit": [1, 2, 4], "inplanes": 128},
+        num_classes=19, align_corner=True, deepsup=False)
+    params, state = init_graph(model.graph, jax.random.key(0))
+
+    # Synthetic EIC scores stand in for the 4k-step pretrain accumulation:
+    # throughput depends only on which channel *counts* survive, not on
+    # which channels the real scores would pick.
+    rng = np.random.default_rng(0)
+    eic = {bn: np.abs(rng.standard_normal(
+        model.graph.node(bn).attrs["channels"])).astype(np.float32)
+        for bn in prunable_bn_names(model.graph)}
+
+    result, gp, report = prune_to_flops(
+        model.graph, model.graph, params, state, eic, prune_ratio=0.5,
+        layer_keep=0.02, except_start_keys=())
+
+    image = jnp.asarray(rng.uniform(-1, 1, shape).astype(np.float32))
+
+    def deploy_ips(graph, p, s):
+        fn, dev_params = make_inference_fn(graph, p, s, dtype=jnp.bfloat16,
+                                           fold_bn=True, output="argmax")
+        compiled = aot_compile(fn, dev_params, shape)
+        stats = benchmark(lambda img: compiled(dev_params, img),
+                          image, warmup=warmup, iters=iters)
+        return stats["images_per_sec"]
+
+    base_ips = deploy_ips(model.graph, params, state)
+    pruned_ips = deploy_ips(result.graph, result.params, result.state)
+
+    print(json.dumps({
+        "metric": "deeplabv3_r101_50pct_flops_1025x2049_bf16_img_per_s",
+        "value": round(pruned_ips, 3),
+        "unit": "img/s",
+        "vs_baseline": round(pruned_ips / base_ips, 3),
+        "detail": {
+            "backend": jax.default_backend(),
+            "unpruned_img_per_s": round(base_ips, 3),
+            "global_percent": gp,
+            "flops_ratio": round(report["flops_ratio"], 4),
+            "small_mode": small,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
