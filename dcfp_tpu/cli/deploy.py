@@ -1,0 +1,103 @@
+"""Deployment export entry point (reference totrt.py parity).
+
+Builds the (optionally pruned) model, folds BatchNorm into convs,
+AOT-compiles a bfloat16 forward at the fixed deploy resolution, saves the
+serialized executable (the TRT-engine-file analog, totrt.py:122), and
+benchmarks latency with the reference protocol (10 warmup + 50 timed,
+totrt.py:70-89).
+
+Example (matches scripts/cs/trt.sh):
+  python -m dcfp_tpu.cli.deploy --dataset CS --model deeplabv3 \\
+      --backbone resnet50 --backbone-para '{"os":8,"mg_unit":[1,2,4]}' \\
+      --input-size 1024,2048 \\
+      --restore-from snapshots/.../CS_scenes_36000.msgpack \\
+      --channel-cfg snapshots/cs_prune/channel_cfg.msgpack \\
+      --save-dir deploy/cs
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcfp_tpu.cli.common import (add_model_args, build_model_from_args,
+                                 maybe_load_channel_cfg, parse_hw, str2bool)
+from dcfp_tpu.utils.logger import get_logger
+
+log = get_logger()
+
+NUM_CLASSES = {"CS": 19, "CTX": 59, "ADE": 150, "COCO": 171}
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("dcfp_tpu deploy")
+    add_model_args(p)
+    p.add_argument("--dataset", type=str, default="CS")
+    p.add_argument("--input-size", type=str, default="1025,2049",
+                   help="deploy H,W (reference scripts/cs/trt.sh uses "
+                        "1025,2049 for align-corner models)")
+    p.add_argument("--restore-from", type=str, default=None)
+    p.add_argument("--save-dir", type=str, default=None)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--output", type=str, default="argmax",
+                   help="argmax (uint8 labels) | logits")
+    p.add_argument("--warmup", type=int, default=10)
+    p.add_argument("--iters", type=int, default=50)
+    return p
+
+
+def main(argv=None) -> int:
+    args = get_parser().parse_args(argv)
+    from dcfp_tpu.data.paths import dataset_key
+    from dcfp_tpu.engine.deploy import (aot_compile, benchmark,
+                                        export_serialized,
+                                        make_inference_fn)
+    from dcfp_tpu.graph.apply import init_graph
+    from dcfp_tpu.prune.pruner import apply_channel_cfg
+    from dcfp_tpu.utils import checkpoint as ckpt
+
+    num_classes = NUM_CLASSES[dataset_key(args.dataset)]
+    model = build_model_from_args(args, num_classes, deepsup=False)
+    graph = model.graph
+    cfg = maybe_load_channel_cfg(args)
+    if cfg is not None:
+        graph = apply_channel_cfg(graph, cfg)
+    params, bn_state = init_graph(graph, jax.random.key(0))
+    if args.restore_from:
+        params, bn_state = ckpt.load_params_non_strict(args.restore_from,
+                                                       params, bn_state)
+
+    h, w = parse_hw(args.input_size)
+    shape = (args.batch_size, h, w, 3)
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+             "bf16": jnp.bfloat16}[args.dtype]
+
+    fn, dev_params = make_inference_fn(graph, params, bn_state, dtype=dtype,
+                                       fold_bn=True, output=args.output)
+    compiled = aot_compile(fn, dev_params, shape)
+
+    if args.save_dir:
+        os.makedirs(args.save_dir, exist_ok=True)
+        export_serialized(fn, dev_params, shape,
+                          os.path.join(args.save_dir, "model.stablehlo"))
+        ckpt.save_pytree(os.path.join(args.save_dir,
+                                      "deploy_params.msgpack"), dev_params)
+
+    image = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, shape).astype(np.float32))
+    stats = benchmark(lambda img: compiled(dev_params, img), image,
+                      warmup=args.warmup, iters=args.iters)
+    print(json.dumps({"input": list(shape), "dtype": args.dtype,
+                      "ms_per_batch": round(stats["ms_per_batch"], 3),
+                      "images_per_sec": round(stats["images_per_sec"], 3)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

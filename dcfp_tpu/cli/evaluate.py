@@ -1,0 +1,115 @@
+"""Validation entry point (reference evaluate.py parity): mIoU /
+per-class IU / precision / recall + FPS on the val split; whole-image,
+sliding-window, multi-scale + flip; boundary IoU; optional prediction
+PNGs; results appended to ``result.txt``.
+
+Example (Cityscapes single-scale whole-image, scripts/cs/finetune.sh:35):
+  python -m dcfp_tpu.cli.evaluate --dataset CS --data-dir val \\
+      --model deeplabv3 --backbone resnet50 \\
+      --backbone-para '{"os":8,"mg_unit":[1,2,4]}' \\
+      --whole true --ms 1 --restore-from snapshots/.../CS_scenes_36000.msgpack \\
+      --channel-cfg snapshots/cs_prune/channel_cfg.msgpack
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcfp_tpu.cli.common import (add_data_args, add_model_args,
+                                 build_dataset_from_args,
+                                 build_model_from_args, json_para,
+                                 maybe_load_channel_cfg, parse_hw, str2bool)
+from dcfp_tpu.utils.logger import get_logger
+
+log = get_logger()
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("dcfp_tpu evaluate")
+    add_data_args(p, split="val")
+    add_model_args(p)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--restore-from", type=str, required=True)
+    p.add_argument("--whole", type=str2bool, default=False,
+                   help="whole-image (vs sliding-window tiles)")
+    p.add_argument("--flip", type=str2bool, default=False)
+    p.add_argument("--ms", type=str, default="1",
+                   help="comma-joined scales, e.g. '0.75,1,1.25'")
+    p.add_argument("--iou-type", type=str, default="segm",
+                   help="segm|boundary")
+    p.add_argument("--dilation-ratio", type=float, default=0.02)
+    p.add_argument("--save-predict", type=str2bool, default=False)
+    p.add_argument("--predict-dir", type=str, default=None)
+    p.add_argument("--result-file", type=str, default=None,
+                   help="defaults to <ckpt dir>/result.txt")
+    p.add_argument("--dtype", type=str, default="float32",
+                   help="float32|bfloat16 inference")
+    p.add_argument("--use-aot", type=str2bool, default=False,
+                   help="serve a serialized AOT executable "
+                        "(deploy.py export; the --use-trt analog)")
+    p.add_argument("--aot-path", type=str, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = get_parser().parse_args(argv)
+    from dcfp_tpu.data.loader import EvalLoader
+    from dcfp_tpu.engine.evaluator import Predictor, evaluate
+    from dcfp_tpu.graph.apply import init_graph
+    from dcfp_tpu.prune.pruner import apply_channel_cfg
+    from dcfp_tpu.utils import checkpoint as ckpt
+
+    dataset = build_dataset_from_args(args, args.data_dir)
+    loader = EvalLoader(dataset, batch_size=args.batch_size)
+
+    model = build_model_from_args(args, dataset.num_classes, deepsup=False)
+    graph = model.graph
+    cfg = maybe_load_channel_cfg(args)
+    if cfg is not None:
+        graph = apply_channel_cfg(graph, cfg)
+    params, bn_state = init_graph(graph, jax.random.key(0))
+    params, bn_state = ckpt.load_params_non_strict(args.restore_from,
+                                                   params, bn_state)
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+             "bf16": jnp.bfloat16}[args.dtype]
+    if args.use_aot:
+        from dcfp_tpu.engine.deploy import load_serialized
+        run = load_serialized(args.aot_path)
+        predictor = Predictor(graph, params, bn_state, dtype=dtype)
+        predictor._fwd = lambda p, s, image: run(p, image)  # serve artifact
+    else:
+        predictor = Predictor(graph, params, bn_state, dtype=dtype)
+
+    scales = [float(s) for s in args.ms.split(",") if s]
+    result_file = args.result_file or os.path.join(
+        os.path.dirname(os.path.abspath(args.restore_from)), "result.txt")
+    predict_dir = args.predict_dir or (
+        os.path.join(os.path.dirname(os.path.abspath(args.restore_from)),
+                     "predict") if args.save_predict else None)
+
+    tag = (f"{args.restore_from} whole={args.whole} ms={args.ms} "
+           f"flip={args.flip} iou={args.iou_type}")
+    result = evaluate(
+        predictor, loader, num_classes=dataset.num_classes,
+        ignore_label=dataset.ignore_label, whole=args.whole,
+        scales=scales, flip=args.flip, align_corner=args.align_corner,
+        tile_size=parse_hw(args.input_size), longsize=args.longsize,
+        shortsize=args.shortsize,
+        iou_type="boundary" if args.iou_type == "boundary" else "mask",
+        dilation_ratio=args.dilation_ratio,
+        save_predict_dir=predict_dir,
+        cmap=getattr(dataset, "CMAP", None),
+        result_file=result_file, result_tag=tag)
+    print(f"meanIU {result['meanIU']:.4f}  meanP {result['meanP']:.4f}  "
+          f"meanR {result['meanR']:.4f}  FPS {result['fps']:.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,144 @@
+"""End-to-end CLI pipeline on a synthetic Cityscapes fixture:
+label_index -> pretrain (EIC) -> prune -> finetune (gsrl/balance/resample,
+pruned widths, sharded mesh) -> evaluate -> deploy.  This is the
+scripts/{cs}/.sh recipe in miniature."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dcfp_tpu.data.synthetic import make_cityscapes_fixture
+
+BACKBONE_PARA = '{"os": 32, "mg_unit": [1, 1, 1], "inplanes": 64}'
+
+
+@pytest.fixture(scope="module")
+def cs_fixture(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cs"))
+    train_lst = make_cityscapes_fixture(root, n_images=4, hw=(72, 96),
+                                        split="train")
+    val_lst = make_cityscapes_fixture(root, n_images=2, hw=(72, 96),
+                                      split="val", seed=1)
+    os.environ["DCFP_CS_ROOT"] = root
+    os.environ["DCFP_CS_TRAIN_LIST"] = train_lst
+    os.environ["DCFP_CS_VAL_LIST"] = val_lst
+    return root
+
+
+def test_full_pipeline(cs_fixture, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("work"))
+    snap = os.path.join(work, "pretrain")
+    prune_dir = os.path.join(work, "prune")
+    ft = os.path.join(work, "finetune")
+
+    # 1. label index (reference label_index.py)
+    from dcfp_tpu.cli import label_index
+    assert label_index.main([
+        "--dataset", "CS", "--save-dir", cs_fixture]) == 0
+    assert os.path.exists(os.path.join(cs_fixture, "label_index_CS.pkl"))
+
+    # 2. pretrain with EIC accumulation (scripts/cs/pretrain.sh shape)
+    from dcfp_tpu.cli import train
+    assert train.main([
+        "--dataset", "CS", "--model", "simple", "--backbone", "resnet50",
+        "--backbone-para", BACKBONE_PARA, "--input-size", "48,48",
+        "--batch-size", "2", "--num-steps", "3", "--save-pred-every", "3",
+        "--loss-type", "ce", "--deepsup", "true", "--prune-type", "dcfp",
+        "--snapshot-dir", snap, "--num-devices", "2", "--log-every", "1",
+        "--align-corner", "false"]) == 0
+    pretrain_ckpt = os.path.join(snap, "CS_scenes_3.msgpack")
+    score = os.path.join(snap, "score.msgpack")
+    assert os.path.exists(pretrain_ckpt) and os.path.exists(score)
+
+    # 3. prune to a FLOPs target with round-trip verification
+    from dcfp_tpu.cli import prune
+    assert prune.main([
+        "--dataset", "CS", "--model", "simple", "--backbone", "resnet50",
+        "--backbone-para", BACKBONE_PARA, "--align-corner", "false",
+        "--model-path", pretrain_ckpt, "--score-path", score,
+        "--prune-ratio", "0.3", "--flops-input-size", "48,48",
+        "--save-path", prune_dir]) == 0
+    cfg_path = os.path.join(prune_dir, "channel_cfg.msgpack")
+    pruned_path = os.path.join(prune_dir, "pruned.msgpack")
+    assert os.path.exists(cfg_path) and os.path.exists(pruned_path)
+
+    # 4. finetune at pruned widths: gsrl + balance 2 + resample, sharded
+    # over a 2x2 (data x spatial) mesh (scripts/cs/finetune.sh shape)
+    assert train.main([
+        "--dataset", "CS", "--model", "simple", "--backbone", "resnet50",
+        "--backbone-para", BACKBONE_PARA, "--input-size", "48,48",
+        "--batch-size", "2", "--num-steps", "2", "--save-pred-every", "2",
+        "--loss-type", "gsrl", "--deepsup", "true",
+        "--balance", "2", "--resample", "true",
+        "--channel-cfg", cfg_path, "--resume", pruned_path,
+        "--snapshot-dir", ft, "--num-devices", "4",
+        "--spatial-shards", "2", "--log-every", "1",
+        "--align-corner", "false", "--warmup", "1"]) == 0
+    ft_ckpt = os.path.join(ft, "CS_scenes_2.msgpack")
+    assert os.path.exists(ft_ckpt)
+
+    # 5. evaluate the pruned model on the val split
+    from dcfp_tpu.cli import evaluate
+    result_file = os.path.join(work, "result.txt")
+    assert evaluate.main([
+        "--dataset", "CS", "--data-dir", "val", "--model", "simple",
+        "--backbone", "resnet50", "--backbone-para", BACKBONE_PARA,
+        "--align-corner", "false", "--whole", "true", "--ms", "1",
+        "--input-size", "48,48", "--restore-from", ft_ckpt,
+        "--channel-cfg", cfg_path, "--result-file", result_file]) == 0
+    txt = open(result_file).read()
+    assert "meanIU" in txt
+
+    # 6. deploy: BN-fold + AOT compile + serialized executable + latency
+    from dcfp_tpu.cli import deploy
+    deploy_dir = os.path.join(work, "deploy")
+    assert deploy.main([
+        "--dataset", "CS", "--model", "simple", "--backbone", "resnet50",
+        "--backbone-para", BACKBONE_PARA, "--align-corner", "false",
+        "--input-size", "48,48", "--restore-from", ft_ckpt,
+        "--channel-cfg", cfg_path, "--save-dir", deploy_dir,
+        "--warmup", "1", "--iters", "2"]) == 0
+    assert os.path.exists(os.path.join(deploy_dir, "model.stablehlo"))
+
+
+def test_evaluate_test_submission(cs_fixture, tmp_path_factory):
+    """Test-split inference saves raw-id + palette PNGs
+    (reference evaluate_test.py:133-164)."""
+    root = cs_fixture
+    test_lst = make_cityscapes_fixture(root, n_images=2, hw=(72, 96),
+                                       split="test", seed=2)
+    # test .lst has image paths only
+    with open(test_lst, "w") as f:
+        for i in range(2):
+            f.write(f"leftImg8bit/test/img_{i:04d}.png\n")
+    os.environ["DCFP_CS_TEST_LIST"] = test_lst
+
+    import jax
+    from dcfp_tpu.cli import evaluate_test
+    from dcfp_tpu.graph.apply import init_graph
+    from dcfp_tpu.models.registry import build_model
+    from dcfp_tpu.utils import checkpoint as ckpt
+
+    model = build_model("simple", backbone="resnet50",
+                        backbone_para=json.loads(BACKBONE_PARA),
+                        num_classes=19, align_corner=False, deepsup=False)
+    params, bn = init_graph(model.graph, jax.random.key(0))
+    work = str(tmp_path_factory.mktemp("sub"))
+    ckpt_path = os.path.join(work, "w.msgpack")
+    ckpt.save_pytree(ckpt_path, {"params": params, "bn_state": bn})
+
+    out_dir = os.path.join(work, "out")
+    assert evaluate_test.main([
+        "--dataset", "CS", "--data-dir", "test", "--model", "simple",
+        "--backbone", "resnet50", "--backbone-para", BACKBONE_PARA,
+        "--align-corner", "false", "--whole", "true", "--ms", "1",
+        "--restore-from", ckpt_path, "--output-dir", out_dir]) == 0
+    import cv2
+    raws = sorted(os.listdir(os.path.join(out_dir, "raw")))
+    assert len(raws) == 2
+    raw = cv2.imread(os.path.join(out_dir, "raw", raws[0]),
+                     cv2.IMREAD_GRAYSCALE)
+    # reverse remap produces raw Cityscapes ids (7..33), never train ids
+    assert raw.max() >= 7
