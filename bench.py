@@ -53,7 +53,7 @@ def main():
 
     result, gp, report = prune_to_flops(
         model.graph, model.graph, params, state, eic, prune_ratio=0.5,
-        layer_keep=0.02, except_start_keys=())
+        layer_keep=0.02, except_start_keys=(), channel_align=128)
 
     image = jnp.asarray(rng.uniform(-1, 1, shape).astype(np.float32))
 

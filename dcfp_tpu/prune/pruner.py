@@ -56,13 +56,43 @@ class ChannelPruner:
     Subclasses implement :meth:`conv_masks` returning a per-conv bool mask
     for every BN-paired conv (reference gen_channel_mask)."""
 
-    def __init__(self, except_start_keys: Optional[Sequence[str]] = None):
+    def __init__(self, except_start_keys: Optional[Sequence[str]] = None,
+                 channel_align: int = 1):
         self.except_start_keys = list(except_start_keys or [])
+        # TPU-native extension: round every kept-channel count UP to a
+        # multiple of ``channel_align`` by resurrecting the highest-scoring
+        # pruned channels.  MXU/VPU tiles are (8..32, 128); ragged channel
+        # counts (e.g. 237) waste lanes in every conv the channel touches,
+        # so aligned counts trade a little FLOPs for much better tiling.
+        self.channel_align = max(int(channel_align), 1)
 
     # -- hooks ---------------------------------------------------------------
     def conv_masks(self, graph: Graph, topo: Topology,
                    except_layers: set) -> Dict[str, np.ndarray]:
         raise NotImplementedError
+
+    def space_score(self, graph: Graph, topo: Topology, space: str,
+                    members: Sequence[str]) -> np.ndarray:
+        """Per-channel importance of a space (used only to pick which
+        pruned channels to resurrect for alignment).  Subclasses with real
+        scores override."""
+        size = graph.node(members[0]).attrs["out_ch"]
+        return np.zeros(size, np.float64)
+
+    def _align_mask(self, mask: np.ndarray, score: np.ndarray) -> np.ndarray:
+        a = self.channel_align
+        kept = int(mask.sum())
+        if a <= 1 or kept == 0 or kept % a == 0:
+            return mask
+        target = min(-(-kept // a) * a, mask.size)
+        extra = target - kept
+        if extra <= 0:
+            return mask
+        pruned_idx = np.where(~mask)[0]
+        order = np.argsort(-score[pruned_idx], kind="stable")
+        out = mask.copy()
+        out[pruned_idx[order[:extra]]] = True
+        return out
 
     # -- exclusion (channel_pruner.py:950-979) --------------------------------
     def _except_layers(self, graph: Graph, topo: Topology) -> set:
@@ -102,7 +132,11 @@ class ChannelPruner:
                     forced = True
                     break
                 acc |= m.astype(bool)
-            masks[space] = np.ones(size, bool) if forced else acc
+            if forced:
+                masks[space] = np.ones(size, bool)
+            else:
+                masks[space] = self._align_mask(
+                    acc, self.space_score(graph, topo, space, members))
         return masks
 
     def in_mask(self, topo: Topology, masks: Masks, conv: str) -> np.ndarray:
@@ -250,11 +284,21 @@ class DCFPPruner(ChannelPruner):
 
     def __init__(self, eic: Dict[str, np.ndarray], global_percent: float = 0.8,
                  layer_keep: float = 0.01,
-                 except_start_keys: Optional[Sequence[str]] = None):
-        super().__init__(except_start_keys)
+                 except_start_keys: Optional[Sequence[str]] = None,
+                 channel_align: int = 1):
+        super().__init__(except_start_keys, channel_align)
         self.eic = {k: _np(v) for k, v in eic.items()}
         self.global_percent = global_percent
         self.layer_keep = layer_keep
+
+    def space_score(self, graph, topo, space, members):
+        size = graph.node(members[0]).attrs["out_ch"]
+        score = np.zeros(size, np.float64)
+        for conv in members:
+            bn = topo.conv_norm.get(conv)
+            if bn is not None and bn in self.eic:
+                score = np.maximum(score, self.eic[bn].astype(np.float64))
+        return score
 
     @staticmethod
     def bn_group(bn_name: str) -> int:
@@ -301,8 +345,9 @@ class RandomChannelPruner(ChannelPruner):
 
     def __init__(self, global_percent: float = 0.8, layer_keep: float = 0.01,
                  seed: int = 0,
-                 except_start_keys: Optional[Sequence[str]] = None):
-        super().__init__(except_start_keys)
+                 except_start_keys: Optional[Sequence[str]] = None,
+                 channel_align: int = 1):
+        super().__init__(except_start_keys, channel_align)
         self.global_percent = global_percent
         self.layer_keep = layer_keep
         self.rng = np.random.default_rng(seed)

@@ -25,7 +25,7 @@ def prune_to_flops(train_graph: Graph, deploy_graph: Graph, params, state,
                    except_start_keys: Sequence[str] = ("conv_deepsup",),
                    input_hw: Tuple[int, int] = (512, 512),
                    start_percent: float = 0.5, step: float = 0.02,
-                   max_percent: float = 0.99
+                   max_percent: float = 0.99, channel_align: int = 1
                    ) -> Tuple[PruneResult, float, Dict[str, float]]:
     """Returns (prune_result, global_percent, flops_report).
 
@@ -40,7 +40,8 @@ def prune_to_flops(train_graph: Graph, deploy_graph: Graph, params, state,
     gp = start_percent
     while gp <= max_percent:
         pruner = DCFPPruner(eic, global_percent=gp, layer_keep=layer_keep,
-                            except_start_keys=list(except_start_keys))
+                            except_start_keys=list(except_start_keys),
+                            channel_align=channel_align)
         result = pruner.prune_model(train_graph.copy(), params, state)
         pruned_deploy = apply_channel_cfg(deploy_graph, result.channel_cfg)
         flops, n_params = count_flops_params(pruned_deploy, input_hw)

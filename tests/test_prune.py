@@ -270,3 +270,48 @@ def test_flops_search(rng):
         input_hw=(128, 128))
     assert report["flops_ratio"] <= 0.5
     assert 0.5 <= gp <= 0.99
+
+def test_channel_align_rounds_up_and_preserves_equivalence(rng):
+    """channel_align must (a) make every pruned space's kept count a
+    multiple of the alignment, (b) keep pruned==rebuilt forward
+    equivalence (the TPU tiling extension must not break surgery)."""
+    import jax
+    from dcfp_tpu.graph.apply import graph_apply, init_graph
+    from dcfp_tpu.prune.pruner import DCFPPruner, apply_channel_cfg
+    from dcfp_tpu.prune.trace import trace_topology
+
+    graph = residual_concat_net()
+    params, state = init_graph(graph, jax.random.key(0))
+    eic = {bn.name: np.abs(rng.standard_normal(bn.attrs["channels"]))
+           for bn in graph.bn_nodes()}
+    pruner = DCFPPruner(eic, global_percent=0.6, layer_keep=0.05,
+                        channel_align=8)
+    topo = trace_topology(graph)
+    masks = pruner.space_masks(graph, topo)
+    protected = set(topo.output_spaces)
+    aligned_spaces = 0
+    for space, m in masks.items():
+        if space in protected or m.all():
+            continue
+        assert int(m.sum()) % 8 == 0, (space, int(m.sum()))
+        aligned_spaces += 1
+    assert aligned_spaces > 0  # the test must actually exercise alignment
+
+    # alignment keeps strictly more channels than the unaligned pruner
+    base = DCFPPruner(eic, global_percent=0.6, layer_keep=0.05)
+    base_masks = base.space_masks(graph, topo)
+    for space in masks:
+        assert masks[space].sum() >= base_masks[space].sum()
+        # aligned mask is a superset: resurrect, never re-prune
+        assert (masks[space] | base_masks[space] == masks[space]).all()
+
+    result = pruner.prune_model(graph.copy(), params, state)
+    x = rng.standard_normal((1, 16, 16, 3)).astype(np.float32)
+    rebuilt = apply_channel_cfg(graph, result.channel_cfg)
+    out1, _ = graph_apply(result.graph, result.params, result.state,
+                          {"image": x})
+    out2, _ = graph_apply(rebuilt, result.params, result.state,
+                          {"image": x})
+    np.testing.assert_allclose(np.asarray(out1["pred"]),
+                               np.asarray(out2["pred"]), rtol=1e-5,
+                               atol=1e-5)
