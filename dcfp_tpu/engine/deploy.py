@@ -140,15 +140,24 @@ def load_serialized(path: str):
 # latency benchmark (totrt.py:70-89: 10 warmup + 50 timed)
 # ---------------------------------------------------------------------------
 
+def _sync(out):
+    """Force completion by fetching one element to the host.  Device
+    programs execute in dispatch order, so fetching from the LAST output
+    waits for every prior dispatch too.  (jax.block_until_ready is
+    unreliable on tunneled platforms — it can return before execution.)"""
+    leaf = jax.tree.leaves(out)[0]
+    return np.asarray(leaf.ravel()[0])
+
+
 def benchmark(run, example_input, *, warmup: int = 10, iters: int = 50
               ) -> Dict[str, float]:
     for _ in range(warmup):
         out = run(example_input)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run(example_input)
-    jax.block_until_ready(out)
+    _sync(out)
     elapsed = time.perf_counter() - t0
     batch = example_input.shape[0]
     ms = elapsed / iters * 1000.0

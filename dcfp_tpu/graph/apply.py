@@ -75,6 +75,11 @@ def init_graph(graph: Graph, rng: jax.Array, dtype=jnp.float32
 def _conv(x, node: Node, p):
     a = node.attrs
     pad = a["padding"]
+    # f32 inputs: request f32 accumulation explicitly.  bf16 inputs: leave
+    # preferred_element_type unset — the TPU MXU accumulates in f32
+    # internally anyway, and forcing an f32 output breaks the conv
+    # transpose (grad) rule with mixed bf16/f32 operands.
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
         x, p["kernel"].astype(x.dtype),
         window_strides=(a["stride"], a["stride"]),
@@ -82,7 +87,7 @@ def _conv(x, node: Node, p):
         rhs_dilation=(a["dilation"], a["dilation"]),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=a["groups"],
-        preferred_element_type=jnp.float32,  # f32 accumulation on the MXU
+        preferred_element_type=pet,
     )
     if a["bias"]:
         y = y + p["bias"].astype(y.dtype)
