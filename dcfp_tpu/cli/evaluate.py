@@ -78,11 +78,21 @@ def main(argv=None) -> int:
 
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
              "bf16": jnp.bfloat16}[args.dtype]
+    scales_chk = [float(s) for s in args.ms.split(",") if s]
+    if args.use_aot and (not args.whole or scales_chk != [1.0] or args.flip):
+        raise SystemExit("--use-aot serves a fixed-shape executable: "
+                         "requires --whole true --ms 1 --flip false")
     if args.use_aot:
         from dcfp_tpu.engine.deploy import load_serialized
         run = load_serialized(args.aot_path)
+        # the artifact was exported with BN-folded deploy params saved
+        # next to it by the deploy CLI
+        aot_params = ckpt.load_pytree(os.path.join(
+            os.path.dirname(os.path.abspath(args.aot_path)),
+            "deploy_params.msgpack"))
+        aot_params = jax.tree.map(jnp.asarray, aot_params)
         predictor = Predictor(graph, params, bn_state, dtype=dtype)
-        predictor._fwd = lambda p, s, image: run(p, image)  # serve artifact
+        predictor._fwd = lambda p, s, image: run(aot_params, image)
     else:
         predictor = Predictor(graph, params, bn_state, dtype=dtype)
 

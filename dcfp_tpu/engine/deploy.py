@@ -82,18 +82,36 @@ def fold_batchnorm(graph: Graph, params: Dict, state: Dict
 
 def make_inference_fn(graph: Graph, params: Dict, state: Dict, *,
                       dtype=jnp.bfloat16, fold_bn: bool = True,
-                      output: str = "logits"):
+                      output: str = "logits", fuse_tail: bool = True):
     """Returns (fn, params) where fn(params, image_NHWC) runs the deploy
-    forward.  ``output``: 'logits' (f32) or 'argmax' (uint8)."""
+    forward.  ``output``: 'logits' (f32) or 'argmax' (uint8).
+
+    With ``output='argmax'`` and a final bilinear-resize 'pred' node, the
+    upsample+argmax tail runs as one fused Pallas kernel — the upsampled
+    logits (HxWxC f32) are never materialized in HBM."""
     if fold_bn:
         graph, params, state = fold_batchnorm(graph, params, state)
     dev_params = jax.tree.map(
         lambda x: jnp.asarray(x, dtype) if np.asarray(x).dtype.kind == "f"
         else jnp.asarray(x), params)
 
+    tail_resize = None
+    if output == "argmax" and fuse_tail and "pred" in graph.nodes:
+        node = graph.node("pred")
+        if node.op == "resize" and node.attrs.get("to_input"):
+            tail_resize = node
+            graph = graph.copy()
+            graph.outputs = [node.inputs[0] if o == "pred" else o
+                             for o in graph.outputs]
+
     def fn(p, image):
         outs, _ = graph_apply(graph, p, state,
                               {"image": image.astype(dtype)}, train=False)
+        if tail_resize is not None:
+            from dcfp_tpu.ops.pallas_kernels import resize_argmax
+            logits = outs[tail_resize.inputs[0]]
+            return resize_argmax(logits, image.shape[1:3],
+                                 tail_resize.attrs["align_corners"])
         pred = outs["pred"]
         if output == "argmax":
             return jnp.argmax(pred, axis=-1).astype(jnp.uint8)

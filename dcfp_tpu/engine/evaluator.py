@@ -212,10 +212,21 @@ def evaluate(predictor: Predictor, loader: Iterable, *, num_classes: int,
                 whole)
         elapsed = time.perf_counter() - t0
 
-        out = out[:, :size_scale[0], :size_scale[1]]
-        if longsize > 0 or shortsize > 0:
-            out = np.asarray(resize_bilinear(jnp.asarray(out), orig_hw))
-        seg_pred = np.argmax(out, axis=-1).astype(np.uint8)
+        if out.ndim == 3:  # executable already emitted argmax label maps
+            seg_pred = np.asarray(out)[:, :size_scale[0],
+                                       :size_scale[1]].astype(np.uint8)
+            if (longsize > 0 or shortsize > 0) and \
+                    seg_pred.shape[1:] != tuple(orig_hw):
+                import cv2
+                seg_pred = np.stack([
+                    cv2.resize(p, (orig_hw[1], orig_hw[0]),
+                               interpolation=cv2.INTER_NEAREST)
+                    for p in seg_pred])
+        else:
+            out = out[:, :size_scale[0], :size_scale[1]]
+            if longsize > 0 or shortsize > 0:
+                out = np.asarray(resize_bilinear(jnp.asarray(out), orig_hw))
+            seg_pred = np.argmax(out, axis=-1).astype(np.uint8)
 
         if save_predict_dir:
             os.makedirs(save_predict_dir, exist_ok=True)

@@ -142,3 +142,52 @@ def test_evaluate_test_submission(cs_fixture, tmp_path_factory):
                      cv2.IMREAD_GRAYSCALE)
     # reverse remap produces raw Cityscapes ids (7..33), never train ids
     assert raw.max() >= 7
+
+
+def test_evaluate_serves_aot_artifact(cs_fixture, tmp_path_factory):
+    """deploy --output argmax exports an executable; evaluate --use-aot
+    serves it (the reference's totrt.py -> evaluate --use-trt loop).
+    Regression: label-map (N,H,W) outputs must not be argmaxed again."""
+    import jax
+    from dcfp_tpu.cli import deploy, evaluate
+    from dcfp_tpu.graph.apply import init_graph
+    from dcfp_tpu.models.registry import build_model
+    from dcfp_tpu.utils import checkpoint as ckpt
+
+    work = str(tmp_path_factory.mktemp("aot"))
+    model = build_model("simple", backbone="resnet50",
+                        backbone_para=json.loads(BACKBONE_PARA),
+                        num_classes=19, align_corner=False, deepsup=False)
+    params, bn = init_graph(model.graph, jax.random.key(0))
+    ckpt_path = os.path.join(work, "w.msgpack")
+    ckpt.save_pytree(ckpt_path, {"params": params, "bn_state": bn})
+
+    deploy_dir = os.path.join(work, "deploy")
+    # val fixture images are 72x96; align_corner false -> no pad
+    assert deploy.main([
+        "--dataset", "CS", "--model", "simple", "--backbone", "resnet50",
+        "--backbone-para", BACKBONE_PARA, "--align-corner", "false",
+        "--input-size", "72,96", "--restore-from", ckpt_path,
+        "--save-dir", deploy_dir, "--warmup", "1", "--iters", "2",
+        "--dtype", "float32"]) == 0
+
+    result_file = os.path.join(work, "result.txt")
+    assert evaluate.main([
+        "--dataset", "CS", "--data-dir", "val", "--model", "simple",
+        "--backbone", "resnet50", "--backbone-para", BACKBONE_PARA,
+        "--align-corner", "false", "--whole", "true", "--ms", "1",
+        "--input-size", "72,96", "--restore-from", ckpt_path,
+        "--use-aot", "true",
+        "--aot-path", os.path.join(deploy_dir, "model.stablehlo"),
+        "--result-file", result_file]) == 0
+    assert "meanIU" in open(result_file).read()
+
+    # guard: multi-scale serving of a fixed-shape artifact is rejected
+    import pytest
+    with pytest.raises(SystemExit):
+        evaluate.main([
+            "--dataset", "CS", "--data-dir", "val", "--model", "simple",
+            "--backbone", "resnet50", "--backbone-para", BACKBONE_PARA,
+            "--restore-from", ckpt_path, "--use-aot", "true",
+            "--aot-path", os.path.join(deploy_dir, "model.stablehlo"),
+            "--whole", "true", "--ms", "0.5,1"])
