@@ -102,6 +102,10 @@ def add_runtime_args(p: argparse.ArgumentParser):
                    help="mesh 'spatial' axis size (H sharding)")
     p.add_argument("--num-devices", type=int, default=-1,
                    help="limit the mesh to the first N devices")
+    p.add_argument("--dcn-slices", type=int, default=0,
+                   help="multi-slice pods: number of slices; lays the "
+                        "data axis out slice-major so only the batch "
+                        "reduction crosses DCN")
     p.add_argument("--compute-dtype", type=str, default="float32",
                    help="float32|bfloat16 activations")
 

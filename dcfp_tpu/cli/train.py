@@ -171,13 +171,19 @@ def main(argv=None) -> int:
                                   step=jnp.asarray(start_step, jnp.int32))
             log.info("loaded weights from %s", args.resume)
 
-    devices = jax.devices()
-    if args.num_devices > 0:
-        devices = devices[:args.num_devices]
-    n_dev = len(devices)
     spatial = args.spatial_shards
-    mesh = create_mesh(n_data=n_dev // spatial, n_spatial=spatial,
-                       devices=devices)
+    if args.dcn_slices > 1:
+        from dcfp_tpu.parallel.distributed import create_pod_mesh
+        mesh = create_pod_mesh(n_spatial=spatial,
+                               dcn_data_parallel=args.dcn_slices)
+        n_dev = mesh.devices.size
+    else:
+        devices = jax.devices()
+        if args.num_devices > 0:
+            devices = devices[:args.num_devices]
+        n_dev = len(devices)
+        mesh = create_mesh(n_data=n_dev // spatial, n_spatial=spatial,
+                           devices=devices)
     state = jax.device_put(state, replicated(mesh))
     log.info("mesh: %d data x %d spatial on %d %s device(s); global "
              "batch %d", n_dev // spatial, spatial, n_dev,
