@@ -36,7 +36,8 @@ class BaseDataset:
                  brightness: bool = True, ignore_label: int = 255,
                  balance: int = 0, resample: bool = False,
                  beta: float = 0.9999, longsize: int = -1,
-                 shortsize: int = -1, seed: int = 0, **kwargs):
+                 shortsize: int = -1, seed: int = 0, native: bool = True,
+                 **kwargs):
         self.split = split
         self.crop_h, self.crop_w = crop_size
         self.mean = np.asarray(mean, np.float32)
@@ -51,6 +52,7 @@ class BaseDataset:
         self.long_size = longsize
         self.short_size = shortsize
         self.seed = seed
+        self.native = native  # fused C++ crop/normalize when available
         self.rng = np.random.default_rng(seed)
         # subclasses fill these:
         self.files: List[Dict[str, str]] = []
@@ -271,14 +273,50 @@ class BaseDataset:
             image, label = self.generate_scale_label(image, label)
         if self.brightness:
             image = self.photometric(image)
-        image = self.input_transform(image)
-        image, label = self.crop_img(image, label, img_meta)
-        if self.is_mirror and self.rng.integers(0, 2) == 1:
-            image = image[:, ::-1]
-            label = label[:, ::-1]
+        out = self._native_tail(image, label, img_meta)
+        if out is not None:
+            image, label = out
+        else:
+            image = self.input_transform(image)
+            image, label = self.crop_img(image, label, img_meta)
+            if self.is_mirror and self.rng.integers(0, 2) == 1:
+                image = image[:, ::-1]
+                label = label[:, ::-1]
         labels = self.get_label(label, img_meta)
         return {"img": np.ascontiguousarray(image), "label": labels,
                 "img_meta": img_meta}
+
+    def _native_tail(self, image, label, img_meta):
+        """Fused C++ normalize+pad+crop+flip (dcfp_tpu.native) — one pass
+        over the output crop, bitwise-equal to the numpy path and drawing
+        the PRNG in the same order.  Returns None to fall back."""
+        if not self.native or image.dtype != np.uint8:
+            return None
+        from dcfp_tpu import native
+        if native.lib() is None:
+            return None
+        label = label.astype(np.int64, copy=False)
+        pad_h = max(self.crop_h - label.shape[0], 0)
+        pad_w = max(self.crop_w - label.shape[1], 0)
+        if pad_h or pad_w:
+            # only the label needs materializing: get_crop_location reads
+            # padded contents; image pad (0.0 post-normalize) and label
+            # pad (ignore) are handled by the kernel's bounds check
+            label_p = np.pad(label, ((0, pad_h), (0, pad_w)),
+                             constant_values=self.ignore_label)
+        else:
+            label_p = label
+        h_off, w_off = self.get_crop_location(label_p, img_meta)
+        flip = bool(self.is_mirror and self.rng.integers(0, 2) == 1)
+        img_c = native.crop_normalize(image, h_off, w_off,
+                                      (self.crop_h, self.crop_w), flip,
+                                      self.mean, self.std)
+        lab_c = native.crop_label(label, h_off, w_off,
+                                  (self.crop_h, self.crop_w), flip,
+                                  self.ignore_label)
+        if img_c is None or lab_c is None:
+            return None
+        return img_c, lab_c
 
 
 def load_pickle(path: str):
