@@ -72,9 +72,40 @@ def init_graph(graph: Graph, rng: jax.Array, dtype=jnp.float32
 # apply
 # ---------------------------------------------------------------------------
 
+# Above this dilation, XLA's native dilated conv drops to ~22 TFLOP/s on
+# TPU v5e (vs ~75 for small dilations); the 9-shifted-matmul decomposition
+# below stays at full matmul efficiency (measured 3.4x faster at the ASPP
+# rates 24/36 used for output-stride 8).
+DILATED_MATMUL_MIN = 18
+
+
+def _dilated3x3_as_matmuls(x, kernel, d: int):
+    """3x3 conv with rhs_dilation d, 'same' padding d, stride 1, as nine
+    shifted pixel-matmuls: y = sum_ij shift(x, (i-1)d, (j-1)d) @ W[i,j]."""
+    n, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
+    out = None
+    for i in range(3):
+        for j in range(3):
+            xs = jax.lax.dynamic_slice(xp, (0, i * d, j * d, 0),
+                                       (n, h, w, c))
+            t = jnp.einsum("nhwc,co->nhwo", xs, kernel[i, j],
+                           preferred_element_type=jnp.float32)
+            out = t if out is None else out + t
+    return out
+
+
 def _conv(x, node: Node, p):
     a = node.attrs
     pad = a["padding"]
+    if (a["kernel"] == 3 and a["dilation"] >= DILATED_MATMUL_MIN
+            and a["stride"] == 1 and a["groups"] == 1
+            and pad == a["dilation"]):
+        y = _dilated3x3_as_matmuls(x, p["kernel"].astype(x.dtype),
+                                   a["dilation"])
+        if a["bias"]:
+            y = y + p["bias"].astype(y.dtype)
+        return y.astype(x.dtype)
     # f32 inputs: request f32 accumulation explicitly.  bf16 inputs: leave
     # preferred_element_type unset — the TPU MXU accumulates in f32
     # internally anyway, and forcing an f32 output breaks the conv

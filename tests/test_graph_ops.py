@@ -157,3 +157,51 @@ def test_residual_block_grads_flow(rng):
     for name in ["c1", "c2", "ds"]:
         assert np.isfinite(np.asarray(grads[name]["kernel"])).all()
         assert float(jnp.abs(grads[name]["kernel"]).sum()) > 0
+
+
+def test_dilated_matmul_decomposition_matches_conv(rng):
+    """Large-dilation 3x3 convs run as 9 shifted matmuls
+    (graph/apply.py DILATED_MATMUL_MIN); must match the native dilated
+    conv in f32."""
+    import jax
+    import jax.numpy as jnp
+    from dcfp_tpu.graph.apply import _dilated3x3_as_matmuls
+
+    x = jnp.asarray(rng.standard_normal((2, 33, 41, 16)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 16, 8)).astype(np.float32))
+    for d in (18, 24, 36):
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((d, d), (d, d)), rhs_dilation=(d, d),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = _dilated3x3_as_matmuls(x, k, d)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_graph_conv_dispatches_large_dilation(rng):
+    """A graph conv with dilation >= threshold must produce the same
+    output (and gradients must flow) through the matmul path."""
+    import jax
+    import jax.numpy as jnp
+    from dcfp_tpu.graph.apply import graph_apply, init_graph
+    from dcfp_tpu.graph.ir import GraphBuilder
+
+    b = GraphBuilder("d")
+    x = b.input("image")
+    x = b.conv(x, "c", out_ch=8, kernel=3, dilation=24)
+    g = b.finish([x])
+    params, state = init_graph(g, jax.random.key(0))
+    img = jnp.asarray(rng.standard_normal((1, 40, 48, 3)).astype(np.float32))
+
+    out, _ = graph_apply(g, params, state, {"image": img})
+    ref = jax.lax.conv_general_dilated(
+        img, params["c"]["kernel"], (1, 1), ((24, 24), (24, 24)),
+        rhs_dilation=(24, 24), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(out["c"]), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(p):
+        o, _ = graph_apply(g, p, state, {"image": img})
+        return jnp.sum(o["c"] ** 2)
+    grads = jax.grad(loss)(params)
+    assert np.isfinite(np.asarray(grads["c"]["kernel"])).all()
