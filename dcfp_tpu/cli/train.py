@@ -74,11 +74,11 @@ def get_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _resolve_pretrained(args, graph, params):
+def _resolve_pretrained(args, graph, params, bn_state):
     """Convert + merge an ImageNet torch backbone checkpoint
     (reference networks/backbone/resnet.py:172-187 build_resnet)."""
     from dcfp_tpu.data import paths
-    from dcfp_tpu.models.convert import load_torch_checkpoint
+    from dcfp_tpu.models.convert import merge_pretrained_backbone
     path = args.pretrained
     if path == "auto":
         path = paths.pretrained_dir(args.backbone)
@@ -86,12 +86,13 @@ def _resolve_pretrained(args, graph, params):
         if path:
             log.warning("pretrained checkpoint %s not found; random init",
                         path)
-        return params
-    converted = load_torch_checkpoint(graph, path, prefix="backbone.")
-    from dcfp_tpu.utils.checkpoint import merge_params
-    merged, _, _ = merge_params(params, converted)
+        return params, bn_state
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    params, bn_state = merge_pretrained_backbone(graph, sd, params,
+                                                 bn_state)
     log.info("merged pretrained backbone from %s", path)
-    return merged
+    return params, bn_state
 
 
 def device_batches(loader, mesh, spatial: bool):
@@ -145,7 +146,8 @@ def main(argv=None) -> int:
 
     params, bn_state = init_graph(graph, jax.random.key(args.random_seed))
     if args.pretrained and channel_cfg is None:
-        params = _resolve_pretrained(args, graph, params)
+        params, bn_state = _resolve_pretrained(args, graph, params,
+                                               bn_state)
 
     tx = build_optimizer(
         optim=args.optim, learning_rate=args.learning_rate,

@@ -182,6 +182,9 @@ def evaluate(predictor: Predictor, loader: Iterable, *, num_classes: int,
     cm = np.zeros((num_classes, num_classes), np.float64)
     pure_inf_time, fps = 0.0, 0.0
     n_imgs = 0
+    if hasattr(loader, "__len__"):
+        # tiny sets: still report an FPS instead of warming up everything
+        fps_warmup = min(fps_warmup, max(len(loader) - 1, 0))
     for idx, batch in enumerate(loader):
         image = batch["img"]  # NHWC float32
         label = batch.get("label")
