@@ -10,8 +10,12 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    # few-core hosts trip XLA:CPU's 40s collective-rendezvous abort
+    _flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=600"
+               " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120")
+os.environ["XLA_FLAGS"] = _flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 # Some sandboxes pre-import jax via sitecustomize with a hardware platform
