@@ -191,3 +191,39 @@ def test_evaluate_serves_aot_artifact(cs_fixture, tmp_path_factory):
             "--restore-from", ckpt_path, "--use-aot", "true",
             "--aot-path", os.path.join(deploy_dir, "model.stablehlo"),
             "--whole", "true", "--ms", "0.5,1"])
+
+
+def test_ctx_pipeline_minimal(tmp_path_factory):
+    """The shifted-label dataset family through the CLIs (CTX: 59
+    classes, label-1 remap, longsize resize — scripts/ctx recipe shape)."""
+    import numpy as np
+    from dcfp_tpu.data.synthetic import make_shifted_fixture
+    root = str(tmp_path_factory.mktemp("ctx"))
+    manifest = make_shifted_fixture(root, fmt="CTX", n_images=3,
+                                    hw=(64, 80), num_classes=59)
+    os.environ["DCFP_CTX_ROOT"] = root
+    os.environ["DCFP_CTX_TRAIN_LIST"] = manifest
+    os.environ["DCFP_CTX_VAL_LIST"] = manifest
+
+    from dcfp_tpu.cli import evaluate, train
+    work = str(tmp_path_factory.mktemp("ctxwork"))
+    snap = os.path.join(work, "pt")
+    assert train.main([
+        "--dataset", "CTX", "--model", "simple", "--backbone", "resnet50",
+        "--backbone-para", BACKBONE_PARA, "--input-size", "48,48",
+        "--longsize", "64", "--batch-size", "2", "--num-steps", "2",
+        "--save-pred-every", "2", "--loss-type", "ohem", "--deepsup",
+        "true", "--random-scale", "--snapshot-dir", snap,
+        "--num-devices", "1", "--log-every", "1",
+        "--align-corner", "false"]) == 0
+    ckpt_path = os.path.join(snap, "CTX_scenes_2.msgpack")
+    assert os.path.exists(ckpt_path)
+
+    result_file = os.path.join(work, "result.txt")
+    assert evaluate.main([
+        "--dataset", "CTX", "--data-dir", "val", "--model", "simple",
+        "--backbone", "resnet50", "--backbone-para", BACKBONE_PARA,
+        "--align-corner", "false", "--whole", "true", "--ms", "1",
+        "--input-size", "48,48", "--longsize", "64",
+        "--restore-from", ckpt_path, "--result-file", result_file]) == 0
+    assert "meanIU" in open(result_file).read()
