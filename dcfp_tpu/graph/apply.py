@@ -98,6 +98,9 @@ def _dilated3x3_as_matmuls(x, kernel, d: int):
 def _conv(x, node: Node, p):
     a = node.attrs
     pad = a["padding"]
+    # NOTE (measured, v5e): rewriting the thin stem conv (3ch, k3 s2) via
+    # 2x2 space-to-depth is a NET LOSS here (41.8 -> 37.6 img/s e2e) —
+    # the input-layout shuffle costs more than the MXU contraction gain.
     if (a["kernel"] == 3 and a["dilation"] >= DILATED_MATMUL_MIN
             and a["stride"] == 1 and a["groups"] == 1
             and pad == a["dilation"]):
