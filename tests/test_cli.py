@@ -227,3 +227,17 @@ def test_ctx_pipeline_minimal(tmp_path_factory):
         "--input-size", "48,48", "--longsize", "64",
         "--restore-from", ckpt_path, "--result-file", result_file]) == 0
     assert "meanIU" in open(result_file).read()
+
+
+def test_hrnet_train_smoke(cs_fixture, tmp_path_factory):
+    """HRNetV2 backbone through the train CLI (reference hrnet.py w48,
+    scaled to w18-ish width for the test)."""
+    from dcfp_tpu.cli import train
+    snap = str(tmp_path_factory.mktemp("hr"))
+    assert train.main([
+        "--dataset", "CS", "--model", "simple", "--backbone", "hrnetv2w48",
+        "--backbone-para", '{"width": 18}', "--input-size", "64,64",
+        "--batch-size", "2", "--num-steps", "1", "--save-pred-every", "1",
+        "--loss-type", "ce", "--deepsup", "true", "--align-corner", "false",
+        "--num-devices", "1", "--snapshot-dir", snap]) == 0
+    assert os.path.exists(os.path.join(snap, "CS_scenes_1.msgpack"))
