@@ -4,7 +4,9 @@ Mirrors the reference deploy benchmark (totrt.py:70-89: TensorRT fp16,
 batch 1, 1025x2049, 10 warmup + 50 timed): DeepLabV3-ResNet101 is pruned
 to 50% FLOPs (the BASELINE.md north-star config), BatchNorm is folded,
 the model is AOT-compiled in bfloat16 with on-device argmax output, and
-images/sec is measured with block_until_ready bracketing.
+images/sec is host-fetch synchronized (deploy.benchmark fetches one
+element of the last output; block_until_ready is unreliable on tunneled
+platforms).
 
 ``vs_baseline`` is the pruned model's throughput relative to the
 *unpruned* model through the identical deploy path — the speedup the

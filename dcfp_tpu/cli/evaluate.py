@@ -53,6 +53,17 @@ def get_parser() -> argparse.ArgumentParser:
                    help="serve a serialized AOT executable "
                         "(deploy.py export; the --use-trt analog)")
     p.add_argument("--aot-path", type=str, default=None)
+    p.add_argument("--bucket-quantum", type=int, default=0,
+                   help="pad inputs up to multiples of this so variable-"
+                        "resolution val sets compile a bounded program "
+                        "set (0 = one program per distinct shape)")
+    p.add_argument("--eval-shard", type=str, default="none",
+                   help="none|data|spatial|both: run the forward over a "
+                        "device mesh (spatial = whole-image multi-chip "
+                        "inference)")
+    p.add_argument("--num-devices", type=int, default=0,
+                   help="devices for --eval-shard (0 = all)")
+    p.add_argument("--spatial-shards", type=int, default=1)
     return p
 
 
@@ -83,18 +94,43 @@ def main(argv=None) -> int:
         raise SystemExit("--use-aot serves a fixed-shape executable: "
                          "requires --whole true --ms 1 --flip false")
     if args.use_aot:
-        from dcfp_tpu.engine.deploy import load_serialized
-        run = load_serialized(args.aot_path)
+        if not args.aot_path:
+            raise SystemExit("--use-aot requires --aot-path "
+                             "(the serialized executable from cli.deploy)")
+        if not os.path.isfile(args.aot_path):
+            raise SystemExit(f"--aot-path not found: {args.aot_path}")
         # the artifact was exported with BN-folded deploy params saved
         # next to it by the deploy CLI
-        aot_params = ckpt.load_pytree(os.path.join(
+        params_path = os.path.join(
             os.path.dirname(os.path.abspath(args.aot_path)),
-            "deploy_params.msgpack"))
+            "deploy_params.msgpack")
+        if not os.path.isfile(params_path):
+            raise SystemExit(
+                f"missing {params_path} (written by cli.deploy next to "
+                "the serialized executable)")
+        from dcfp_tpu.engine.deploy import load_serialized
+        run = load_serialized(args.aot_path)
+        aot_params = ckpt.load_pytree(params_path)
         aot_params = jax.tree.map(jnp.asarray, aot_params)
         predictor = Predictor(graph, params, bn_state, dtype=dtype)
         predictor._fwd = lambda p, s, image: run(aot_params, image)
     else:
-        predictor = Predictor(graph, params, bn_state, dtype=dtype)
+        mesh = None
+        if args.eval_shard != "none":
+            from dcfp_tpu.parallel.mesh import create_mesh
+            devices = jax.devices()
+            if args.num_devices > 0:
+                devices = devices[:args.num_devices]
+            mesh = create_mesh(n_data=len(devices) // args.spatial_shards,
+                               n_spatial=args.spatial_shards,
+                               devices=devices)
+            log.info("eval mesh: %s over %d device(s)", args.eval_shard,
+                     len(devices))
+        predictor = Predictor(graph, params, bn_state, dtype=dtype,
+                              bucket_quantum=args.bucket_quantum,
+                              align_corner=args.align_corner,
+                              mesh=mesh, shard=args.eval_shard
+                              if args.eval_shard != "none" else "data")
 
     scales = [float(s) for s in args.ms.split(",") if s]
     result_file = args.result_file or os.path.join(

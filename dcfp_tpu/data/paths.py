@@ -23,9 +23,15 @@ _ROOTS = {
 _LISTS = {
     ("CS", "train"): "datasets/list/cityscapes/train.lst",
     ("CS", "trainval"): "datasets/list/cityscapes/trainval.lst",
+    # coarse-augmented lists shipped by the reference but unmapped there
+    # (mypath.py:8-11 covers only train/trainval/val/test): mapped here
+    # so `--data-set CS --data-split train+` just works.
+    ("CS", "train+"): "datasets/list/cityscapes/train+.lst",
+    ("CS", "train++"): "datasets/list/cityscapes/train++.lst",
     ("CS", "val"): "datasets/list/cityscapes/val.lst",
     ("CS", "test"): "datasets/list/cityscapes/test.lst",
     ("CTX", "train"): "datasets/list/ctx/train.txt",
+    ("CTX", "train_all"): "datasets/list/ctx/train_all.txt",
     ("CTX", "val"): "datasets/list/ctx/val.txt",
     ("ADE", "train"): "datasets/list/ade/training.odgt",
     ("ADE", "val"): "datasets/list/ade/validation.odgt",

@@ -163,7 +163,7 @@ def _sync(out):
     programs execute in dispatch order, so fetching from the LAST output
     waits for every prior dispatch too.  (jax.block_until_ready is
     unreliable on tunneled platforms — it can return before execution.)"""
-    leaf = jax.tree.leaves(out)[0]
+    leaf = jax.tree.leaves(out)[-1]
     return np.asarray(leaf.ravel()[0])
 
 

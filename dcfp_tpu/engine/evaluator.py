@@ -2,14 +2,22 @@
 inference, confusion-matrix metrics, boundary IoU, FPS.
 
 TPU-native redesign of reference evaluate.py:
-* forwards are jitted per input shape (shape cache) with stride-8 padding
-  (pad_inf, evaluate.py:119-130) keeping the shape set small;
+* forwards are jitted per input shape with stride-8 padding (pad_inf,
+  evaluate.py:119-130) plus optional shape *bucketing*: inputs pad up to
+  a quantum so variable-resolution val sets (CTX/ADE/COCO) compile a
+  bounded program set instead of one per image;
 * sliding-window tiles are gathered into ONE batched forward instead of a
   python double loop of single-tile forwards (evaluate.py:145-184) — the
   MXU sees a full batch, overlap averaging happens once on host;
-* timing brackets use ``block_until_ready`` (the XLA analog of
-  ``cuda.synchronize``, evaluate.py:327-337) with the same 5-iteration
-  warmup exclusion;
+* the Predictor can run over a ``jax.sharding.Mesh``: batch sharded over
+  'data' (multi-chip throughput eval) and/or image height over 'spatial'
+  (whole-image 1024x2048 on several chips — halo exchanges inserted by
+  the SPMD partitioner), with the confusion matrix reduced across
+  processes like the reference's NCCL all-reduce (evaluate.py:370-372);
+* FPS timing matches the reference protocol (evaluate.py:326-337): the
+  H2D transfer happens *before* the timed region and the bracket
+  synchronizes by a one-element host fetch (block_until_ready is
+  unreliable on tunneled platforms), same 5-iteration warmup exclusion;
 * the confusion matrix is one vectorized bincount (evaluate.py:229-247).
 """
 
@@ -73,18 +81,62 @@ def pad_inf(image_hw: Tuple[int, int], stride: int = 8
     return h + pad_h, w + pad_w
 
 
+def bucket_hw(image_hw: Tuple[int, int], quantum: int,
+              align_corner: bool = False) -> Tuple[int, int]:
+    """Smallest (H', W') >= (H, W) on the bucket lattice.
+
+    align_corner buckets sit at k*quantum + 1 (so they satisfy the
+    stride+1 rule of :func:`pad_inf` for any stride dividing quantum);
+    otherwise at k*quantum.  Zero-pad + slice-back is the reference's own
+    approximation (pad_inf zero-pads and evaluate.py crops the logits),
+    just quantized so a whole variable-size val set compiles O(few)
+    programs instead of one per resolution.
+    """
+    h, w = image_hw
+    if quantum <= 1:
+        return h, w
+    off = 1 if align_corner else 0
+    bh = max(math.ceil((h - off) / quantum), 1) * quantum + off
+    bw = max(math.ceil((w - off) / quantum), 1) * quantum + off
+    return bh, bw
+
+
+def allreduce_confusion(cm: np.ndarray) -> np.ndarray:
+    """Sum per-process confusion matrices across all JAX processes —
+    the reference's dist.all_reduce of the confusion matrix
+    (evaluate.py:370-372).  Identity in single-process runs."""
+    if jax.process_count() == 1:
+        return cm
+    from jax.experimental import multihost_utils
+    return np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(cm))).sum(0)
+
+
 # ---------------------------------------------------------------------------
 # predictor
 # ---------------------------------------------------------------------------
 
 class Predictor:
-    """Shape-cached jitted forward over a (graph, params, state) triple."""
+    """Shape-cached jitted forward over a (graph, params, state) triple.
 
-    def __init__(self, graph, params, state, dtype=jnp.float32):
+    Options:
+    * ``bucket_quantum`` — pad every input up to the bucket lattice (see
+      :func:`bucket_hw`) and slice logits back: bounds the compiled
+      program count on variable-resolution datasets.
+    * ``mesh`` + ``shard`` — run the forward SPMD over a device mesh:
+      ``'data'`` shards the batch dim, ``'spatial'`` shards image height
+      (whole-image multi-chip inference; XLA inserts the conv halo
+      exchanges), ``'both'`` shards both.  Logits come back replicated.
+    """
+
+    def __init__(self, graph, params, state, dtype=jnp.float32, *,
+                 bucket_quantum: int = 0, align_corner: bool = False,
+                 mesh=None, shard: str = "data"):
         self.graph = graph
-        self.params = params
-        self.state = state
         self.dtype = dtype
+        self.bucket_quantum = int(bucket_quantum)
+        self.align_corner = bool(align_corner)
+        self.mesh = mesh
 
         def fwd(params, state, image):
             outs, _ = graph_apply(graph, params, state,
@@ -92,14 +144,62 @@ class Predictor:
                                   train=False)
             return outs["pred"].astype(jnp.float32)
 
-        self._fwd = jax.jit(fwd)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(mesh, P())
+            spec = {"data": P("data", None, None, None),
+                    "spatial": P(None, "spatial", None, None),
+                    "both": P("data", "spatial", None, None)}[shard]
+            self._img_sharding = NamedSharding(mesh, spec)
+            self.params = jax.device_put(params, rep)
+            self.state = jax.device_put(state, rep)
+            self._fwd = jax.jit(fwd, in_shardings=(rep, rep,
+                                                   self._img_sharding),
+                                out_shardings=rep)
+        else:
+            self._img_sharding = None
+            self.params = params
+            self.state = state
+            self._fwd = jax.jit(fwd)
+
+    def num_compiles(self) -> int:
+        """Compiled-program count (the bucketing discipline metric)."""
+        try:
+            return self._fwd._cache_size()
+        except Exception:
+            return -1
 
     def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
         return self._fwd(self.params, self.state, image)
 
+    # -- input staging -------------------------------------------------------
+    def device_put(self, image: np.ndarray) -> jnp.ndarray:
+        """Bucket-pad and transfer an NHWC image to device, synchronously
+        (so a following timed region excludes the H2D copy, matching the
+        reference protocol evaluate.py:326)."""
+        if self.bucket_quantum:
+            h, w = image.shape[1:3]
+            bh, bw = bucket_hw((h, w), self.bucket_quantum,
+                               self.align_corner)
+            if (bh, bw) != (h, w):
+                image = np.pad(np.asarray(image),
+                               ((0, 0), (0, bh - h), (0, bw - w), (0, 0)))
+        dev = (jax.device_put(image, self._img_sharding)
+               if self._img_sharding is not None else jnp.asarray(image))
+        np.asarray(jax.tree.leaves(dev)[0].ravel()[0])  # sync H2D
+        return dev
+
     # -- whole image -------------------------------------------------------
-    def predict_whole(self, image: np.ndarray) -> jnp.ndarray:
-        return self(jnp.asarray(image))
+    def predict_whole(self, image) -> jnp.ndarray:
+        """Forward on a host or device image; logits sliced back to the
+        input's (unbucketed) spatial size."""
+        h, w = image.shape[1:3]
+        if not isinstance(image, jax.Array):
+            image = self.device_put(image)
+        out = self(image)
+        if out.shape[1:3] != (h, w):
+            out = out[:, :h, :w]
+        return out
 
     # -- sliding window (evaluate.py:145-184), batched tiles ----------------
     def predict_sliding(self, image: np.ndarray, tile_size: Tuple[int, int],
@@ -204,16 +304,24 @@ def evaluate(predictor: Predictor, loader: Iterable, *, num_classes: int,
                 image = np.pad(image, ((0, 0), (0, ph - size_scale[0]),
                                        (0, pw - size_scale[1]), (0, 0)))
 
-        t0 = time.perf_counter()
         if whole and tuple(scales) == (1.0,) and not flip:
-            out = predictor.predict_whole(image)
-            out.block_until_ready()
-            out = np.asarray(out)
+            # reference protocol (evaluate.py:326-337): H2D before the
+            # timed region; bracket closes on a one-element host fetch
+            # (device programs run in dispatch order, so that waits for
+            # the forward; block_until_ready is unreliable on tunneled
+            # platforms and D2H of the full logits stays untimed).
+            dev_img = predictor.device_put(image)
+            t0 = time.perf_counter()
+            out = predictor.predict_whole(dev_img)
+            np.asarray(out.ravel()[0])
+            elapsed = time.perf_counter() - t0
+            out = np.asarray(out)[:, :size_scale[0], :size_scale[1]]
         else:
+            t0 = time.perf_counter()
             out = predictor.predict_multiscale(
                 image, tile_size, scales, num_classes, flip, align_corner,
                 whole)
-        elapsed = time.perf_counter() - t0
+            elapsed = time.perf_counter() - t0
 
         if out.ndim == 3:  # executable already emitted argmax label maps
             seg_pred = np.asarray(out)[:, :size_scale[0],
@@ -264,6 +372,7 @@ def evaluate(predictor: Predictor, loader: Iterable, *, num_classes: int,
         if (idx + 1) % 25 == 0:
             log.info("eval %d: FPS %.2f img/s", idx + 1, fps)
 
+    cm = allreduce_confusion(cm)  # multi-process eval (evaluate.py:370-372)
     result = metrics_from_confusion(cm)
     result["fps"] = fps
     result["confusion"] = cm

@@ -4,7 +4,8 @@ Replaces the reference hot loop (train.py:239-288): forward + loss + DDP
 grad all-reduce + EIC hook + optimizer step become a single compiled XLA
 program per step.  LR scheduling is a pure function of the step counter
 inside the optax chain (no param-group mutation), the NaN guard
-(train.py:260) is an on-host check of the returned loss, and the EIC EMA
+(train.py:260) is a once-per-log-window host check of device-resident
+losses (per-step fetches would serialize dispatch), and the EIC EMA
 (pruners/dcfp_pruner.py:15-20) is carried functional state.
 """
 
@@ -17,6 +18,7 @@ from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -110,24 +112,30 @@ class TrainLoop:
                                      eic_r=self.eic_r,
                                      compute_dtype=self.compute_dtype)
         t0, last = time.time(), start_step
-        loss_sum, loss_n = 0.0, 0
+        # Device-resident loss scalars, fetched once per log window: a
+        # per-step float() would force a host round trip every step and
+        # stall dispatch pipelining (the reference's per-step guard,
+        # train.py:260, is cheap on GPU but serializing on TPU).
+        pending: list = []
         for step in range(start_step, self.num_steps):
             batch = next(batches)
             rng, sub = jax.random.split(rng)
             state, metrics = train_step(state, batch, sub)
-            loss = float(metrics["loss"])
-            if loss != loss:  # NaN guard (train.py:260)
-                raise FloatingPointError(f"NaN loss at step {step}")
-            loss_sum, loss_n = loss_sum + loss, loss_n + 1
+            pending.append(metrics["loss"])
             if (step + 1) % self.log_every == 0 or step + 1 == self.num_steps:
+                losses = np.asarray(jnp.stack(pending))  # ONE host sync
+                if not np.isfinite(losses).all():  # NaN guard
+                    bad = step + 1 - len(losses) + int(
+                        np.argmin(np.isfinite(losses)))
+                    raise FloatingPointError(f"non-finite loss at step {bad}")
                 dt = time.time() - t0
                 sps = (step + 1 - last) / max(dt, 1e-9)
                 lr = float(self.lr_schedule(jnp.asarray(step)))
                 log.info("step %d/%d loss=%.4f (avg %.4f) lr=%.3e "
-                         "%.2f it/s", step + 1, self.num_steps, loss,
-                         loss_sum / loss_n, lr, sps)
+                         "%.2f it/s", step + 1, self.num_steps,
+                         float(losses[-1]), float(losses.mean()), lr, sps)
                 t0, last = time.time(), step + 1
-                loss_sum, loss_n = 0.0, 0
+                pending = []
             in_window = (step + 1) >= self.save_steps
             if self.snapshot_hook and (
                     (in_window and (step + 1) % self.save_pred_every == 0)

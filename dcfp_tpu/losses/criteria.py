@@ -56,6 +56,17 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray, *,
 # OHEM
 # ---------------------------------------------------------------------------
 
+def _zoom0_indices(n: int, m: int):
+    """Source indices of scipy.ndimage.zoom(..., order=0) for n -> m:
+    endpoint-aligned coordinates x_i = i*(n-1)/(m-1), order-0 spline
+    (nearest, halves round up)."""
+    import numpy as np
+    if m <= 1 or n <= 1:
+        return np.zeros(max(m, 1), np.int32)
+    x = np.arange(m, dtype=np.float64) * (n - 1) / (m - 1)
+    return np.minimum(np.floor(x + 0.5), n - 1).astype(np.int32)
+
+
 def ohem_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray, *,
                        ignore_label: int = 255, thresh: float = 0.7,
                        min_kept: int = 100000, factor: int = 8,
@@ -63,21 +74,38 @@ def ohem_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray, *,
                        ) -> jnp.ndarray:
     """Online hard example mining CE (reference loss/ohem.py:9-93).
 
-    Semantics preserved: estimate a probability threshold on a 1/``factor``
-    downsampled copy — the k-th smallest true-class probability among valid
-    pixels with k = min_kept / factor^2, floored at ``thresh`` — then keep
-    only full-resolution pixels whose true-class prob <= threshold and
-    average CE over them.  Runs entirely on device with static shapes.
+    Semantics preserved exactly: estimate a probability threshold on a
+    1/``factor`` downsampled copy — the k-th smallest true-class
+    probability among valid pixels with k = min_kept / factor^2, floored
+    at ``thresh`` — then keep only full-resolution pixels whose
+    true-class prob <= threshold and average CE over them.  The
+    downsampling reproduces the reference's ``scipy.ndimage.zoom``
+    (ohem.py:23-24): output sizes round(dim/factor), endpoint-aligned
+    coordinates (= align_corners=True), order-1 for probs / order-0 for
+    labels.  Runs entirely on device with static shapes.
     """
+    _, mined = ohem_threshold_and_mined(
+        logits, labels, ignore_label=ignore_label, thresh=thresh,
+        min_kept=min_kept, factor=factor)
+    return cross_entropy(logits, mined, ignore_label=ignore_label,
+                         class_weights=class_weights)
+
+
+def ohem_threshold_and_mined(logits, labels, *, ignore_label: int = 255,
+                             thresh: float = 0.7, min_kept: int = 100000,
+                             factor: int = 8):
+    """(threshold, mined_labels) — the mining half of OHEM, exposed so
+    tests can golden it against the reference scipy implementation."""
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     probs = jax.lax.stop_gradient(probs)
 
     # threshold search at 1/factor resolution (ohem.py:20-48)
-    small_probs = resize_bilinear(probs, (max(probs.shape[1] // factor, 1),
-                                          max(probs.shape[2] // factor, 1)))
-    small_labels = labels[:, ::factor, ::factor]
-    small_labels = small_labels[:, :small_probs.shape[1],
-                                :small_probs.shape[2]]
+    h, w = probs.shape[1], probs.shape[2]
+    out_h = max(int(round(h / factor)), 1)  # scipy: int(round(dim*zoom))
+    out_w = max(int(round(w / factor)), 1)
+    small_probs = resize_bilinear(probs, (out_h, out_w), align_corners=True)
+    small_labels = labels[:, _zoom0_indices(h, out_h)][
+        :, :, _zoom0_indices(w, out_w)]
     valid_s = small_labels != ignore_label
     safe_s = jnp.where(valid_s, small_labels, 0).astype(jnp.int32)
     p_true_s = jnp.take_along_axis(small_probs, safe_s[..., None],
@@ -90,14 +118,13 @@ def ohem_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray, *,
         num_valid <= k, 1.0,
         jnp.where(jnp.isfinite(kth), jnp.maximum(kth, thresh), 1.0))
 
-    # full-resolution mining + CE (ohem.py:51-93)
+    # full-resolution mining (ohem.py:51-78)
     valid = labels != ignore_label
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
     p_true = jnp.take_along_axis(probs, safe[..., None], axis=-1)[..., 0]
     kept = valid & (p_true <= threshold)
     mined = jnp.where(kept, labels, ignore_label)
-    return cross_entropy(logits, mined, ignore_label=ignore_label,
-                         class_weights=class_weights)
+    return threshold, mined
 
 
 # ---------------------------------------------------------------------------

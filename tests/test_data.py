@@ -144,3 +144,50 @@ def test_registry_dispatch(cs_fixture):
     assert isinstance(ds, CityscapesDataset)
     with pytest.raises(KeyError):
         build_dataset("nope", root, manifest)
+
+
+# ---------------------------------------------------------------------------
+# vendored manifests + label-index fixtures (reference datasets/list/)
+# ---------------------------------------------------------------------------
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_LIST = os.path.join(_REPO, "datasets", "list")
+
+
+@pytest.mark.parametrize("ds,lst,split,n,pkl_classes", [
+    ("CS", "cityscapes/train.lst", "train", 2975, 19),
+    ("CS", "cityscapes/trainval.lst", "trainval", 3475, 19),
+    ("CS", "cityscapes/val.lst", "val", 500, None),
+    ("CTX", "ctx/train.txt", "train", 4998, 59),
+    ("ADE", "ade/training.odgt", "train", 20210, 150),
+    ("COCO", "cocostuff/train.txt", "train", 9000, 171),
+])
+def test_vendored_manifests_load(ds, lst, split, n, pkl_classes):
+    """The vendored datasets/list/ manifests (reference datasets/list/,
+    mypath.py:8-43) construct real datasets with resample indexes; the
+    scripts are runnable the moment data is mounted."""
+    list_path = os.path.join(_LIST, lst)
+    resample = pkl_classes is not None
+    d = build_dataset(ds, "/data-not-mounted", list_path, split=split,
+                      resample=resample, crop_size=(64, 64))
+    assert len(d.files) == n
+    if resample:
+        assert d.class_files is not None
+        assert len(d.class_files["label_f"]) == pkl_classes == d.num_classes
+        # every per-class entry indexes into the manifest
+        for c in (0, d.num_classes - 1):
+            entries = d.class_files[str(c)]
+            assert entries and all(0 <= e["idx"] < n for e in entries)
+
+
+def test_vendored_paths_registry_resolves():
+    """paths.data_dir defaults point at files that exist in this repo."""
+    from dcfp_tpu.data import paths
+    os.chdir(_REPO)  # lists are repo-relative like the reference
+    for ds, split in [("CS", "train"), ("CS", "train+"), ("CS", "train++"),
+                      ("CS", "trainval"), ("CS", "val"), ("CS", "test"),
+                      ("CTX", "train"), ("CTX", "train_all"), ("CTX", "val"),
+                      ("ADE", "train"), ("ADE", "val"),
+                      ("COCO", "train"), ("COCO", "val")]:
+        _, lst = paths.data_dir(ds, split)
+        assert os.path.isfile(lst), (ds, split, lst)

@@ -126,3 +126,110 @@ def test_evaluate_end_to_end(rng, tmp_path):
     assert res["confusion"].sum() == 8 * 33 * 45
     text = open(result_file).read()
     assert "meanIU" in text and "FPS" in text
+
+
+def conv3_model(num_classes=6):
+    """3x3-conv model (receptive field 5): border effects reach <=2 px."""
+    b = GraphBuilder("c3")
+    x = b.input("image")
+    x = b.conv(x, "c1", out_ch=8, kernel=3)
+    x = b.bn(x, "n1")
+    x = b.relu(x, "r1")
+    pred = b.conv(x, "pred", out_ch=num_classes, kernel=3, bias=True)
+    return b.finish([pred])
+
+
+def test_bucket_hw():
+    from dcfp_tpu.engine.evaluator import bucket_hw
+    assert bucket_hw((100, 130), 64) == (128, 192)
+    assert bucket_hw((128, 128), 64) == (128, 128)
+    assert bucket_hw((100, 130), 64, align_corner=True) == (129, 193)
+    assert bucket_hw((129, 129), 64, align_corner=True) == (129, 129)
+    assert bucket_hw((50, 60), 0) == (50, 60)
+    # align buckets satisfy the pad_inf stride+1 rule for stride | quantum
+    for hw in [(31, 77), (200, 111)]:
+        bh, bw = bucket_hw(hw, 64, align_corner=True)
+        assert pad_inf((bh, bw)) == (bh, bw)
+
+
+def test_bucketed_eval_bounds_compiles_same_miou(rng):
+    """A variable-size val set under bucket_quantum compiles a bounded
+    program set with mIoU unchanged vs the per-shape predictor.  Labels
+    carry an ignore margin wider than the model's receptive field, so
+    zero-pad border effects cannot touch the confusion matrix and the
+    equality is exact."""
+    g = conv3_model()
+    params, state = init_graph(g, jax.random.key(0))
+    sizes = [(41, 53), (47, 61), (52, 44), (63, 33), (37, 58),
+             (59, 47), (45, 45), (50, 62)]
+
+    def loader():
+        r = np.random.default_rng(1)
+        for h, w in sizes:
+            lab = r.integers(0, 6, (1, h, w))
+            lab[:, -4:, :] = 255  # ignore margin >= receptive field 5//2
+            lab[:, :, -4:] = 255
+            yield {"img": r.standard_normal((1, h, w, 3),
+                                            dtype=np.float32),
+                   "label": lab}
+
+    p_exact = Predictor(g, params, state)
+    res_exact = evaluate(p_exact, loader(), num_classes=6, whole=True,
+                         fps_warmup=0)
+    assert p_exact.num_compiles() == len(set(sizes))
+
+    p_bucket = Predictor(g, params, state, bucket_quantum=32)
+    res_bucket = evaluate(p_bucket, loader(), num_classes=6, whole=True,
+                          fps_warmup=0)
+    assert p_bucket.num_compiles() <= 2  # (64,64) and (64,96) buckets
+    np.testing.assert_array_equal(res_bucket["confusion"],
+                                  res_exact["confusion"])
+    assert res_bucket["meanIU"] == res_exact["meanIU"]
+
+
+@pytest.mark.parametrize("shard,n_data,n_spatial", [
+    ("data", 8, 1),
+    ("spatial", 4, 2),
+    ("both", 4, 2),
+])
+def test_mesh_sharded_predictor_matches_single(rng, shard, n_data,
+                                               n_spatial):
+    """Whole-image forward over a device mesh (batch / spatial-height /
+    both sharded) must reproduce the single-device logits — the
+    context-parallel analog promised in SURVEY §5 (halo exchanges from
+    the SPMD partitioner)."""
+    from dcfp_tpu.parallel.mesh import create_mesh
+    assert len(jax.devices()) == 8
+    g = conv3_model()
+    params, state = init_graph(g, jax.random.key(0))
+    img = rng.standard_normal((8, 32, 40, 3), dtype=np.float32)
+
+    single = np.asarray(Predictor(g, params, state).predict_whole(img))
+    mesh = create_mesh(n_data=n_data, n_spatial=n_spatial)
+    p = Predictor(g, params, state, mesh=mesh, shard=shard)
+    sharded = np.asarray(p.predict_whole(img))
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+
+def test_mesh_eval_reproduces_single_device_miou(rng):
+    """End-to-end eval over an 8-device data mesh == single-device eval
+    (confusion matrix and mIoU exactly equal) — the reference's
+    distributed evaluation capability (evaluate.py:370-372)."""
+    from dcfp_tpu.parallel.mesh import create_mesh
+    g = conv3_model()
+    params, state = init_graph(g, jax.random.key(0))
+
+    def loader():
+        r = np.random.default_rng(2)
+        for _ in range(3):
+            yield {"img": r.standard_normal((8, 33, 41, 3),
+                                            dtype=np.float32),
+                   "label": r.integers(0, 6, (8, 33, 41))}
+
+    res1 = evaluate(Predictor(g, params, state), loader(),
+                    num_classes=6, whole=True, fps_warmup=0)
+    mesh = create_mesh(n_data=8, n_spatial=1)
+    p = Predictor(g, params, state, mesh=mesh, shard="data")
+    res8 = evaluate(p, loader(), num_classes=6, whole=True, fps_warmup=0)
+    np.testing.assert_array_equal(res8["confusion"], res1["confusion"])
+    assert res8["meanIU"] == res1["meanIU"]

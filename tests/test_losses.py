@@ -98,33 +98,45 @@ def test_weighted_ce_matches_torch(rng):
 
 
 @pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
-def test_ohem_threshold_close_to_reference(rng):
-    """Our bilinear-downsample threshold vs the reference scipy-zoom one.
+@pytest.mark.parametrize("n,h,w,min_kept", [
+    (1, 64, 64, 512),      # exact /8 sizes
+    (2, 65, 97, 1024),     # odd sizes: zoom rounding paths
+    (1, 100, 52, 64),      # tiny min_kept -> kth likely > 0.7
+    (1, 36, 44, 10 ** 6),  # min_kept >= num_valid -> threshold 1.0
+])
+def test_ohem_threshold_and_mined_match_reference(rng, n, h, w, min_kept):
+    """Exact golden vs the reference scipy path (loss/ohem.py:20-78).
 
-    Downsampling differs slightly (matmul bilinear vs spline zoom), so we
-    assert the thresholds agree loosely and the keep-rule floor matches."""
+    Our downsampling now reproduces scipy.ndimage.zoom bit-for-bit in
+    structure (round(dim/8) output sizes, endpoint-aligned order-1/order-0
+    sampling), so the thresholds must agree to float rounding and the
+    mined sets must be identical up to pixels within that rounding of the
+    threshold (quantified at <=0.1%; typically 0)."""
     from loss.ohem import OhemCrossEntropy2d
-    logits, labels = make_batch(rng, n=1, h=64, w=64)
+    from dcfp_tpu.losses.criteria import ohem_threshold_and_mined
     import scipy.special
-    probs = scipy.special.softmax(logits, axis=-1)
-    ref = OhemCrossEntropy2d(ignore_label=255, thresh=0.7, min_kept=512,
-                             factor=8)
-    want_thr = ref.find_threshold(
-        np.transpose(probs, (0, 3, 1, 2)), labels)
 
-    # extract our threshold by reproducing the first half of the device fn
-    from dcfp_tpu.ops.resize import resize_bilinear
-    small = np.asarray(resize_bilinear(jnp.asarray(probs), (8, 8)))
-    small_lab = labels[:, ::8, ::8][:, :8, :8]
-    valid = small_lab != 255
+    logits, labels = make_batch(rng, n=n, h=h, w=w)
+    probs = scipy.special.softmax(logits, axis=-1)
+    ref = OhemCrossEntropy2d(ignore_label=255, thresh=0.7,
+                             min_kept=min_kept, factor=8)
+    probs_nchw = np.ascontiguousarray(np.transpose(probs, (0, 3, 1, 2)))
+    want_thr = ref.find_threshold(probs_nchw, labels)
+
+    got_thr, got_mined = ohem_threshold_and_mined(
+        jnp.asarray(logits), jnp.asarray(labels), ignore_label=255,
+        thresh=0.7, min_kept=min_kept, factor=8)
+    got_thr = float(got_thr)
+    np.testing.assert_allclose(got_thr, want_thr, rtol=1e-5, atol=1e-6)
+
+    # reference generate_new_target minus the .cuda() tail (ohem.py:51-78)
+    valid = labels != 255
     p_true = np.take_along_axis(
-        small, np.where(valid, small_lab, 0)[..., None], axis=-1)[..., 0]
-    flat = np.sort(np.where(valid, p_true, np.inf).ravel())
-    k = min(512 // 64, flat.size)
-    got_thr = max(flat[k - 1], 0.7) if np.isfinite(flat[k - 1]) else 1.0
-    if np.sum(valid) <= k:
-        got_thr = 1.0
-    assert abs(got_thr - want_thr) < 0.1
+        probs, np.where(valid, labels, 0)[..., None].astype(np.int64),
+        axis=-1)[..., 0]
+    want_mined = np.where(valid & (p_true <= want_thr), labels, 255)
+    disagree = (np.asarray(got_mined) != want_mined).mean()
+    assert disagree <= 1e-3, f"mined-set disagreement {disagree:.2e}"
 
 
 def test_ohem_reduces_to_ce_when_keep_all(rng):

@@ -22,6 +22,21 @@ def test_resize_argmax_matches_xla(rng, shape, out_hw, ac):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("shape,out_hw,ac", [
+    ((1, 17, 33, 19), (65, 129), True),
+    ((2, 16, 16, 7), (64, 64), False),
+])
+def test_resize_argmax_bf16_matches_xla(rng, shape, out_hw, ac):
+    """bf16 logits (the deploy default): interpolation must run in f32
+    and round back to bf16 before compare, bitwise-matching the unfused
+    argmax(resize_bilinear(bf16)) path."""
+    z = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    z = z.astype(jnp.bfloat16)
+    ref = jnp.argmax(resize_bilinear(z, out_hw, ac), -1).astype(jnp.uint8)
+    got = resize_argmax(z, out_hw, ac)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_resize_argmax_tie_breaks_like_argmax(rng):
     """Ties resolve to the FIRST maximal channel (jnp.argmax semantics)."""
     z = np.zeros((1, 4, 4, 5), np.float32)

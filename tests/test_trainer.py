@@ -149,3 +149,35 @@ def test_data_parallel_syncbn_invariant(rng):
         np.testing.assert_allclose(np.asarray(s1.bn_state[name]["mean"]),
                                    np.asarray(s2.bn_state[name]["mean"]),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_train_loop_windowed_nan_guard(rng):
+    """TrainLoop fetches losses once per log window (no per-step host
+    sync) and still reports the exact step of the first non-finite loss."""
+    from dcfp_tpu.engine.trainer import TrainLoop
+
+    model = tiny_model()
+    params, bn_state = init_graph(model.graph, jax.random.key(0))
+    tx = build_optimizer(optim="sgd", learning_rate=0.05, num_steps=100)
+    crit = build_criterions("ce", ignore_label=255)
+    sched = poly_warmup_schedule(0.05, 100, 0.9, warmup=0)
+    loop = TrainLoop(model=model, criterion=crit, tx=tx, num_steps=7,
+                     lr_schedule=sched, log_every=5)
+
+    def batches(poison_at=None):
+        i = 0
+        while True:
+            b = make_batch(rng, n=2, hw=16)
+            if i == poison_at:
+                b = dict(b, img=jnp.full_like(b["img"], jnp.inf))
+            yield b
+            i += 1
+
+    state = create_train_state(model, params, bn_state, tx)
+    state = loop.run(state, batches(), jax.random.key(3))
+    assert int(state.step) == 7
+
+    params2, bn2 = init_graph(model.graph, jax.random.key(0))
+    state2 = create_train_state(model, params2, bn2, tx)
+    with pytest.raises(FloatingPointError, match="step 3"):
+        loop.run(state2, batches(poison_at=3), jax.random.key(3))
