@@ -76,21 +76,96 @@ def fold_batchnorm(graph: Graph, params: Dict, state: Dict
     return new_graph, new_params, new_state
 
 
+_ZERO_PRESERVING = {"relu", "identity", "maxpool", "dropout"}
+
+
+def pad_conv_out_channels(graph: Graph, params: Dict,
+                          targets: Dict[str, int]
+                          ) -> Tuple[Graph, Dict]:
+    """Zero-pad conv output channels to MXU-friendly widths — EXACT.
+
+    For each ``conv_name -> width``: the conv's kernel/bias gain zero
+    lanes (so the padded outputs are exactly 0), every consumer conv
+    reached through zero-preserving ops (relu/maxpool/identity) gains
+    zero input rows, and the graph attrs update.  Numerically identical
+    output, but e.g. a 64-channel stem conv becomes 128-wide and stops
+    wasting half the MXU lane dimension.  Run AFTER fold_batchnorm.
+    """
+    new_graph = graph.copy()
+    new_params = {k: dict(v) for k, v in params.items()}
+    for name, width in targets.items():
+        node = new_graph.node(name)
+        assert node.op == "conv", name
+        cur = node.attrs["out_ch"]
+        if width <= cur:
+            continue
+        pad = width - cur
+        k = np.asarray(new_params[name]["kernel"])
+        new_params[name]["kernel"] = np.pad(k, ((0, 0),) * 3 + ((0, pad),))
+        if node.attrs["bias"]:
+            b = np.asarray(new_params[name]["bias"])
+            new_params[name]["bias"] = np.pad(b, (0, pad))
+        node.attrs["out_ch"] = width
+
+        # propagate through zero-preserving ops to the consumer convs
+        frontier = [name]
+        seen = set()
+        while frontier:
+            cur_name = frontier.pop()
+            for cons in new_graph.consumers(cur_name):
+                if cons.name in seen:
+                    continue
+                seen.add(cons.name)
+                if cons.op == "conv":
+                    assert cons.attrs["groups"] == 1, cons.name
+                    ck = np.asarray(new_params[cons.name]["kernel"])
+                    new_params[cons.name]["kernel"] = np.pad(
+                        ck, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                    cons.attrs["in_ch"] = width
+                elif cons.op in _ZERO_PRESERVING:
+                    frontier.append(cons.name)
+                else:
+                    raise ValueError(
+                        f"cannot pad through {cons.op!r} ({cons.name})")
+    return new_graph, new_params
+
+
+def stem_pad_targets(graph: Graph, width: int = 128) -> Dict[str, int]:
+    """The deep-stem convs narrower than ``width`` (deploy profile: the
+    64-channel stem runs at <10 TFLOP/s on v5e — half the MXU lane width
+    idle; reference stem: networks/backbone/resnet.py:88-98)."""
+    targets = {}
+    for node in graph.toposorted():
+        if node.op != "conv":
+            continue
+        if node.name.startswith("backbone.conv1.") and \
+                node.attrs["out_ch"] < width:
+            targets[node.name] = width
+    return targets
+
+
 # ---------------------------------------------------------------------------
 # inference function + AOT compile
 # ---------------------------------------------------------------------------
 
 def make_inference_fn(graph: Graph, params: Dict, state: Dict, *,
                       dtype=jnp.bfloat16, fold_bn: bool = True,
-                      output: str = "logits", fuse_tail: bool = True):
+                      output: str = "logits", fuse_tail: bool = True,
+                      pad_stem: int = 0):
     """Returns (fn, params) where fn(params, image_NHWC) runs the deploy
     forward.  ``output``: 'logits' (f32) or 'argmax' (uint8).
 
     With ``output='argmax'`` and a final bilinear-resize 'pred' node, the
     upsample+argmax tail runs as one fused Pallas kernel — the upsampled
-    logits (HxWxC f32) are never materialized in HBM."""
+    logits (HxWxC f32) are never materialized in HBM.
+
+    ``pad_stem``: zero-pad the deep-stem convs to this width (e.g. 128) —
+    exact, see :func:`pad_conv_out_channels`."""
     if fold_bn:
         graph, params, state = fold_batchnorm(graph, params, state)
+    if pad_stem:
+        graph, params = pad_conv_out_channels(
+            graph, params, stem_pad_targets(graph, pad_stem))
     dev_params = jax.tree.map(
         lambda x: jnp.asarray(x, dtype) if np.asarray(x).dtype.kind == "f"
         else jnp.asarray(x), params)

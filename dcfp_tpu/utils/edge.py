@@ -1,5 +1,8 @@
-"""Boundary-IoU utilities (reference utils/edge_utils.py:90-127):
-mask <-> one-hot helpers and erosion-based boundary extraction."""
+"""Boundary utilities (reference utils/edge_utils.py):
+mask <-> one-hot helpers, erosion-based boundary extraction for boundary
+IoU (:90-127), and the distance-transform edge maps (:29-74) the
+reference dataset layer imports (datasets/Base.py:10) — unused by its
+entry points but part of the public surface."""
 
 from __future__ import annotations
 
@@ -18,6 +21,50 @@ def onehot_to_mask(onehot: np.ndarray, background: int = 255) -> np.ndarray:
     mask = onehot.argmax(axis=0)
     mask = np.where(onehot.sum(axis=0) > 0, mask, background)
     return mask.astype(np.int64)
+
+
+def _inner_distance(binary: np.ndarray) -> np.ndarray:
+    """Euclidean distance of each in-class pixel to the region border
+    (image edges count as border via 1-px zero padding)."""
+    from scipy.ndimage import distance_transform_edt
+    padded = np.pad(binary, 1)
+    return distance_transform_edt(padded)[1:-1, 1:-1]
+
+
+def _band(dist: np.ndarray, radius_max: float, radius_min: float
+          ) -> np.ndarray:
+    """Pixels whose border distance lies in (radius_min, radius_max]."""
+    keep = dist <= radius_max
+    if radius_min >= 0:
+        keep &= dist > radius_min
+    return (keep & (dist > 0)).astype(np.uint8)
+
+
+def onehot_to_multiclass_edges(onehot: np.ndarray, radius_max: float,
+                               num_classes: int, radius_min: float = -1
+                               ) -> np.ndarray:
+    """(C,H,W) one-hot -> per-class edge bands of width (radius_min,
+    radius_max] measured inward from each region border
+    (reference edge_utils.py:29-51)."""
+    if radius_max < 0:
+        return onehot
+    edges = np.zeros(onehot.shape, np.uint8)
+    for i in np.where(onehot.sum(axis=(1, 2)) > 0)[0]:
+        edges[i] = _band(_inner_distance(onehot[i]), radius_max,
+                         radius_min)
+    return edges
+
+
+def onehot_to_binary_edges(onehot: np.ndarray, radius_max: float,
+                           num_classes: int, radius_min: float = -1
+                           ) -> np.ndarray:
+    """(C,H,W) one-hot -> (1,H,W) union of all class edge bands
+    (reference edge_utils.py:53-74)."""
+    if radius_max < 0:
+        return onehot
+    edges = onehot_to_multiclass_edges(onehot, radius_max, num_classes,
+                                       radius_min)
+    return (edges.sum(axis=0, keepdims=True) > 0).astype(np.uint8)
 
 
 def binary_to_boundary(mask: np.ndarray, dilation_ratio: float = 0.02

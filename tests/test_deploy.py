@@ -103,3 +103,64 @@ def test_serialize_roundtrip(rng, tmp_path):
     want = fn(p, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def stem_like_net(num_classes=4):
+    """A deep-stem-shaped net (conv-bn-relu x3 + maxpool) with the
+    reference's backbone.conv1.* naming so stem_pad_targets finds it."""
+    b = GraphBuilder("stem")
+    x = b.input("image")
+    x = b.conv(x, "backbone.conv1.0", out_ch=6, kernel=3, stride=2)
+    x = b.bn(x, "backbone.conv1.1")
+    x = b.relu(x, "backbone.conv1.relu0")
+    x = b.conv(x, "backbone.conv1.3", out_ch=6, kernel=3)
+    x = b.bn(x, "backbone.conv1.4")
+    x = b.relu(x, "backbone.conv1.relu1")
+    x = b.conv(x, "backbone.conv1.6", out_ch=12, kernel=3)
+    x = b.bn(x, "backbone.bn1")
+    x = b.relu(x, "backbone.relu1")
+    x = b.maxpool(x, "backbone.maxpool", kernel=3, stride=2, padding=1)
+    pred = b.conv(x, "pred", out_ch=num_classes, kernel=1, padding=0,
+                  bias=True)
+    return b.finish([pred])
+
+
+def test_stem_channel_padding_exact(rng):
+    """pad_conv_out_channels must be numerically exact: zero output lanes
+    through relu/maxpool into zero input rows of every consumer conv."""
+    from dcfp_tpu.engine.deploy import (pad_conv_out_channels,
+                                        stem_pad_targets)
+    g = stem_like_net()
+    params, state = randomized_bn(g, rng)
+    fg, fp, fs = fold_batchnorm(g, params, state)
+    x = rng.standard_normal((1, 33, 33, 3), dtype=np.float32)
+    want, _ = graph_apply(fg, fp, fs, {"image": jnp.asarray(x)},
+                          train=False)
+
+    targets = stem_pad_targets(fg, 16)
+    assert targets == {"backbone.conv1.0": 16, "backbone.conv1.3": 16,
+                       "backbone.conv1.6": 16}
+    pg, pp = pad_conv_out_channels(fg, fp, targets)
+    assert pg.node("backbone.conv1.0").attrs["out_ch"] == 16
+    assert pg.node("backbone.conv1.3").attrs["in_ch"] == 16
+    assert pg.node("pred").attrs["in_ch"] == 16
+    assert pp["pred"]["kernel"].shape == (1, 1, 16, 4)
+    got, _ = graph_apply(pg, pp, fs, {"image": jnp.asarray(x)},
+                         train=False)
+    np.testing.assert_allclose(np.asarray(got["pred"]),
+                               np.asarray(want["pred"]), rtol=1e-6,
+                               atol=1e-6)
+
+
+def test_inference_fn_pad_stem_matches(rng):
+    from dcfp_tpu.engine.deploy import make_inference_fn
+    g = stem_like_net()
+    params, state = randomized_bn(g, rng)
+    x = rng.standard_normal((1, 33, 33, 3), dtype=np.float32)
+    outs = {}
+    for pad in (0, 16):
+        fn, p = make_inference_fn(g, params, state, dtype=jnp.float32,
+                                  output="argmax", fuse_tail=False,
+                                  pad_stem=pad)
+        outs[pad] = np.asarray(jax.jit(fn)(p, jnp.asarray(x)))
+    np.testing.assert_array_equal(outs[0], outs[16])

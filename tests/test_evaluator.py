@@ -233,3 +233,30 @@ def test_mesh_eval_reproduces_single_device_miou(rng):
     res8 = evaluate(p, loader(), num_classes=6, whole=True, fps_warmup=0)
     np.testing.assert_array_equal(res8["confusion"], res1["confusion"])
     assert res8["meanIU"] == res1["meanIU"]
+
+
+@pytest.mark.parametrize("radius_min", [-1, 1])
+def test_distance_transform_edges_match_reference(rng, radius_min):
+    """onehot_to_{multiclass,binary}_edges vs the reference scipy
+    implementation (edge_utils.py:29-74)."""
+    import os, sys
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference repo not mounted")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from utils import edge_utils as ref
+    from dcfp_tpu.utils.edge import (mask_to_onehot,
+                                     onehot_to_binary_edges,
+                                     onehot_to_multiclass_edges)
+
+    mask = rng.integers(0, 5, (40, 52)).astype(np.int64)
+    mask[rng.random((40, 52)) < 0.1] = 255
+    onehot = mask_to_onehot(mask, 5)
+
+    want_mc = ref.onehot_to_multiclass_edges(onehot, 2, 5, radius_min)
+    got_mc = onehot_to_multiclass_edges(onehot, 2, 5, radius_min)
+    np.testing.assert_array_equal(got_mc, (want_mc > 0).astype(np.uint8))
+
+    want_bin = ref.onehot_to_binary_edges(onehot, 2, 5, radius_min)
+    got_bin = onehot_to_binary_edges(onehot, 2, 5, radius_min)
+    np.testing.assert_array_equal(got_bin, want_bin)

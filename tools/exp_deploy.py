@@ -1,0 +1,58 @@
+"""Deploy-optimization experiment harness: measures throughput of the
+pruned R101 deploy model (the bench.py config) under candidate graph
+transforms, one AOT compile + 50-iter benchmark per variant.
+
+Usage: python tools/exp_deploy.py [variant ...]
+Variants: base, pad128, dil12, pad128+dil12 (default: all).
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(variants):
+    import dcfp_tpu.graph.apply as apply_mod
+    from dcfp_tpu.engine.deploy import aot_compile, benchmark, \
+        make_inference_fn
+    from dcfp_tpu.graph.apply import init_graph
+    from dcfp_tpu.models.registry import build_model
+    from dcfp_tpu.prune.eic import prunable_bn_names
+    from dcfp_tpu.prune.search import prune_to_flops
+
+    shape, warmup, iters = (1, 1025, 2049, 3), 10, 50
+    model = build_model(
+        "deeplabv3", backbone="resnet101",
+        backbone_para={"os": 8, "mg_unit": [1, 2, 4], "inplanes": 128},
+        num_classes=19, align_corner=True, deepsup=False)
+    params, state = init_graph(model.graph, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    eic = {bn: np.abs(rng.standard_normal(
+        model.graph.node(bn).attrs["channels"])).astype(np.float32)
+        for bn in prunable_bn_names(model.graph)}
+    result, gp, report = prune_to_flops(
+        model.graph, model.graph, params, state, eic, prune_ratio=0.5,
+        layer_keep=0.02, except_start_keys=(), channel_align=128)
+    image = jnp.asarray(rng.uniform(-1, 1, shape).astype(np.float32))
+    print(f"pruned: gp={gp} flops_ratio={report['flops_ratio']:.4f}",
+          flush=True)
+
+    default_min = apply_mod.DILATED_MATMUL_MIN
+    for v in variants:
+        pad = 128 if "pad128" in v else 0
+        apply_mod.DILATED_MATMUL_MIN = 12 if "dil12" in v else default_min
+        fn, dev_params = make_inference_fn(
+            result.graph, result.params, result.state, dtype=jnp.bfloat16,
+            fold_bn=True, output="argmax", pad_stem=pad)
+        compiled = aot_compile(fn, dev_params, shape)
+        stats = benchmark(lambda img: compiled(dev_params, img),
+                          image, warmup=warmup, iters=iters)
+        print(f"VARIANT {v}: {stats['images_per_sec']:.2f} img/s "
+              f"({stats['ms_per_batch']:.2f} ms)", flush=True)
+    apply_mod.DILATED_MATMUL_MIN = default_min
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["base", "pad128", "dil12", "pad128+dil12"])
