@@ -62,3 +62,52 @@ def test_calibration_percentile_clips(rng):
     full = calibrate_act_scales(g, params, state, [x], percentile=100.0)
     clipped = calibrate_act_scales(g, params, state, [x], percentile=99.0)
     assert clipped["s1.conv"] < full["s1.conv"]
+
+
+def residual_net(num_classes=5):
+    """Residual + concat topology: exercises int8 chaining through
+    relu/add/concat (the requant epilogues)."""
+    b = GraphBuilder("qr")
+    x = b.input("image")
+    x = b.conv_bn_relu(x, "s1", out_ch=16, kernel=3, stride=2)
+    y = b.conv_bn_relu(x, "b1", out_ch=16, kernel=3)
+    y2 = b.conv(y, "b2.conv", out_ch=16, kernel=3)
+    y2 = b.bn(y2, "b2.bn")
+    s = b.add_([y2, x], "res.sum")
+    s = b.relu(s, "res.relu")
+    c = b.concat([s, x], "cat")
+    z = b.conv_bn_relu(c, "p1", out_ch=16, kernel=1, padding=0)
+    z = b.conv(z, "cls", out_ch=num_classes, kernel=1, padding=0, bias=True)
+    b.resize(z, "pred", to_input=True, align_corners=False)
+    return b.finish(["pred"])
+
+
+def test_int8_chaining_agreement_and_coverage(rng):
+    """Chained int8 (relu/add/concat stay int8) keeps >=99% argmax
+    agreement with the float model, and the interior convs really do
+    emit int8 directly (no bf16 bounce)."""
+    from dcfp_tpu.engine.quantize import (_emit_scale,
+                                          calibrate_tensor_scales)
+    from dcfp_tpu.engine.deploy import fold_batchnorm
+    g = residual_net()
+    params, state = init_graph(g, jax.random.key(1))
+    calib = [rng.standard_normal((1, 48, 48, 3)).astype(np.float32)
+             for _ in range(2)]
+    fn, bundle = make_int8_inference_fn(g, params, state,
+                                        calib_batches=calib,
+                                        output="argmax",
+                                        compute_dtype=jnp.float32)
+    img = jnp.asarray(rng.standard_normal((2, 48, 48, 3),
+                                          dtype=np.float32))
+    q_labels = np.asarray(jax.jit(fn)(bundle, img))
+    outs, _ = graph_apply(g, params, state, {"image": img})
+    f_labels = np.asarray(jnp.argmax(outs["pred"], -1))
+    assert argmax_agreement(q_labels, f_labels) >= 0.99
+
+    # every conv except the classifier chains (emits int8 directly)
+    fg, fp, fs = fold_batchnorm(g, params, state)
+    ts = calibrate_tensor_scales(fg, fp, fs, calib)
+    emits = {n.name: _emit_scale(fg, n.name, ts) is not None
+             for n in fg.conv_nodes()}
+    assert emits == {"s1.conv": True, "b1.conv": True, "b2.conv": True,
+                     "p1.conv": True, "cls": False}, emits

@@ -6,7 +6,10 @@ Usage: python tools/exp_deploy.py [variant ...]
 Variants: base, pad128, dil12, pad128+dil12 (default: all).
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -40,15 +43,38 @@ def main(variants):
           flush=True)
 
     default_min = apply_mod.DILATED_MATMUL_MIN
+    ref_labels = None
     for v in variants:
-        pad = 128 if "pad128" in v else 0
-        apply_mod.DILATED_MATMUL_MIN = 12 if "dil12" in v else default_min
-        fn, dev_params = make_inference_fn(
-            result.graph, result.params, result.state, dtype=jnp.bfloat16,
-            fold_bn=True, output="argmax", pad_stem=pad)
-        compiled = aot_compile(fn, dev_params, shape)
-        stats = benchmark(lambda img: compiled(dev_params, img),
-                          image, warmup=warmup, iters=iters)
+        if v == "int8":
+            from dcfp_tpu.engine.quantize import (argmax_agreement,
+                                                  make_int8_inference_fn)
+            calib = [rng.uniform(-1, 1, shape).astype(np.float32)
+                     for _ in range(2)]
+            fn, bundle = make_int8_inference_fn(
+                result.graph, result.params, result.state,
+                calib_batches=calib, output="argmax",
+                compute_dtype=jnp.bfloat16)
+            compiled = aot_compile(fn, bundle, shape)
+            stats = benchmark(lambda img: compiled(bundle, img),
+                              image, warmup=warmup, iters=iters)
+            if ref_labels is not None:
+                agree = argmax_agreement(
+                    np.asarray(compiled(bundle, image)), ref_labels)
+                print(f"int8 argmax agreement vs bf16: {agree:.4f}",
+                      flush=True)
+        else:
+            pad = 128 if "pad128" in v else 0
+            apply_mod.DILATED_MATMUL_MIN = (12 if "dil12" in v
+                                            else default_min)
+            fn, dev_params = make_inference_fn(
+                result.graph, result.params, result.state,
+                dtype=jnp.bfloat16, fold_bn=True, output="argmax",
+                pad_stem=pad)
+            compiled = aot_compile(fn, dev_params, shape)
+            stats = benchmark(lambda img: compiled(dev_params, img),
+                              image, warmup=warmup, iters=iters)
+            if v == "base":
+                ref_labels = np.asarray(compiled(dev_params, image))
         print(f"VARIANT {v}: {stats['images_per_sec']:.2f} img/s "
               f"({stats['ms_per_batch']:.2f} ms)", flush=True)
     apply_mod.DILATED_MATMUL_MIN = default_min
