@@ -57,12 +57,17 @@ def main():
         model.graph, model.graph, params, state, eic, prune_ratio=0.5,
         layer_keep=0.02, except_start_keys=(), channel_align=128)
 
-    image = jnp.asarray(rng.uniform(-1, 1, shape).astype(np.float32))
+    # NCHW input — the reference deploy engine's own format (totrt.py:113
+    # feeds (1,3,H,W)); on TPU it also dodges the lane-padded thin-C NHWC
+    # layout, letting the stem conv run as decimation matmuls (exact).
+    nchw = (shape[0], shape[3], shape[1], shape[2])
+    image = jnp.asarray(rng.uniform(-1, 1, nchw).astype(np.float32))
 
     def deploy_ips(graph, p, s):
         fn, dev_params = make_inference_fn(graph, p, s, dtype=jnp.bfloat16,
-                                           fold_bn=True, output="argmax")
-        compiled = aot_compile(fn, dev_params, shape)
+                                           fold_bn=True, output="argmax",
+                                           input_format="nchw")
+        compiled = aot_compile(fn, dev_params, nchw)
         stats = benchmark(lambda img: compiled(dev_params, img),
                           image, warmup=warmup, iters=iters)
         return stats["images_per_sec"]

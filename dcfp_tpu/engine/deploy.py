@@ -148,11 +148,26 @@ def stem_pad_targets(graph: Graph, width: int = 128) -> Dict[str, int]:
 # inference function + AOT compile
 # ---------------------------------------------------------------------------
 
+def _reroot_at(graph: Graph, seed: str, old_input: str) -> Graph:
+    """Copy of ``graph`` with node ``seed`` turned into an input node and
+    the original input removed (fast-stem paths compute ``seed`` outside
+    the graph interpreter)."""
+    g = graph.copy()
+    node = g.node(seed)
+    node.op = "input"
+    node.inputs = ()
+    node.attrs = {}
+    del g.nodes[old_input]
+    g.inputs = [seed]
+    return g
+
+
 def make_inference_fn(graph: Graph, params: Dict, state: Dict, *,
                       dtype=jnp.bfloat16, fold_bn: bool = True,
                       output: str = "logits", fuse_tail: bool = True,
-                      pad_stem: int = 0):
-    """Returns (fn, params) where fn(params, image_NHWC) runs the deploy
+                      pad_stem: int = 0, input_format: str = "nhwc",
+                      input_hw=None):
+    """Returns (fn, params) where fn(params, image) runs the deploy
     forward.  ``output``: 'logits' (f32) or 'argmax' (uint8).
 
     With ``output='argmax'`` and a final bilinear-resize 'pred' node, the
@@ -160,32 +175,84 @@ def make_inference_fn(graph: Graph, params: Dict, state: Dict, *,
     logits (HxWxC f32) are never materialized in HBM.
 
     ``pad_stem``: zero-pad the deep-stem convs to this width (e.g. 128) —
-    exact, see :func:`pad_conv_out_channels`."""
+    exact, see :func:`pad_conv_out_channels`.
+
+    ``input_format`` selects the image layout fn expects (measured at
+    1025x2049 on v5e, tools/exp_deploy.py):
+
+    * ``'nhwc'``  — (N, H, W, C); XLA-native path.  23.71 ms e2e pruned.
+    * ``'nchw'``  — (N, C, H, W), the reference deploy engine's own input
+      format (totrt.py:113): the stem conv runs as one-hot decimation
+      matmuls (:func:`dcfp_tpu.ops.stem.conv3x3_s2_nchw`), dodging the
+      lane-padded thin-C layout.  23.39 ms e2e (+1.4%), argmax-exact.
+    * ``'phases'``— (N, 4C, Hp, Wp) stride-2 phase planes from
+      ``extract_stem_phases`` (host-side, numpy): the stem conv runs as
+      one Pallas kernel.  Requires static ``input_hw=(H, W)``.  e2e
+      neutral (23.68 ms) — prefer 'nchw' unless phases are precomputed.
+    """
+    if input_format not in ("nhwc", "nchw", "phases"):
+        raise ValueError(f"unknown input_format {input_format!r}")
     if fold_bn:
         graph, params, state = fold_batchnorm(graph, params, state)
     if pad_stem:
         graph, params = pad_conv_out_channels(
             graph, params, stem_pad_targets(graph, pad_stem))
+
+    stem = None
+    if input_format != "nhwc":
+        from dcfp_tpu.ops.stem import stem_plan
+        stem = stem_plan(graph)
+        if stem is None:
+            raise ValueError(
+                f"input_format={input_format!r} requires a 3xK3-s2 stem "
+                "conv on the graph input (none found)")
+        if input_format == "phases" and input_hw is None:
+            raise ValueError("input_format='phases' requires input_hw")
+        input_name, stem_conv = stem
+        run_graph = _reroot_at(graph, stem_conv, input_name)
+    else:
+        run_graph = graph
+
     dev_params = jax.tree.map(
         lambda x: jnp.asarray(x, dtype) if np.asarray(x).dtype.kind == "f"
         else jnp.asarray(x), params)
 
     tail_resize = None
-    if output == "argmax" and fuse_tail and "pred" in graph.nodes:
-        node = graph.node("pred")
+    if output == "argmax" and fuse_tail and "pred" in run_graph.nodes:
+        node = run_graph.node("pred")
         if node.op == "resize" and node.attrs.get("to_input"):
             tail_resize = node
-            graph = graph.copy()
-            graph.outputs = [node.inputs[0] if o == "pred" else o
-                             for o in graph.outputs]
+            run_graph = run_graph.copy()
+            run_graph.outputs = [node.inputs[0] if o == "pred" else o
+                                 for o in run_graph.outputs]
 
     def fn(p, image):
-        outs, _ = graph_apply(graph, p, state,
-                              {"image": image.astype(dtype)}, train=False)
+        if stem is None:
+            hw = image.shape[1:3]
+            feed = {"image": image.astype(dtype)}
+        else:
+            sp = p[stem_conv]
+            kern, bias = sp["kernel"], sp.get("bias")
+            if input_format == "nchw":
+                hw = image.shape[2:4]
+                from dcfp_tpu.ops.stem import conv3x3_s2_nchw
+                y1 = jnp.stack([conv3x3_s2_nchw(image[n], kern, bias, dtype)
+                                for n in range(image.shape[0])])
+            else:  # phases
+                hw = input_hw
+                from dcfp_tpu.ops.pallas_kernels import stem_conv3x3_s2
+                out_hw = ((hw[0] + 1) // 2, (hw[1] + 1) // 2)
+                y1 = jnp.stack([
+                    stem_conv3x3_s2(image[n].astype(dtype), kern, bias,
+                                    out_hw)
+                    for n in range(image.shape[0])])
+            feed = {stem_conv: y1}
+        outs, _ = graph_apply(run_graph, p, state, feed, train=False,
+                              input_hw=tuple(int(d) for d in hw))
         if tail_resize is not None:
             from dcfp_tpu.ops.pallas_kernels import resize_argmax
             logits = outs[tail_resize.inputs[0]]
-            return resize_argmax(logits, image.shape[1:3],
+            return resize_argmax(logits, hw,
                                  tail_resize.attrs["align_corners"])
         pred = outs["pred"]
         if output == "argmax":

@@ -12,14 +12,24 @@ BN folding we
 3. **run** convs as ``int8 x int8 -> int32`` and keep activations int8
    *through* relu / maxpool / residual-add / concat (requantized with
    fused elementwise epilogues) so chained convs never bounce through
-   bf16 — the round-1 per-conv quant/dequant path measured 0.70x bf16
-   end-to-end despite int8 convs being 1.27x standalone; chaining is
-   the fix.  Ops with real arithmetic (resize, global pooling, sigmoid)
+   bf16.  Ops with real arithmetic (resize, global pooling, sigmoid)
    dequantize to the float dtype.
 
 Quantizing pre-relu with the post-relu scale is exact: symmetric scales
 put zero at 0, the positive range is unchanged by relu, and negative
 values clip no differently than relu would zero them.
+
+**Measured dead end on v5e (2026-08, tools/exp_deploy.py int8):** the
+pruned R101 deploy at 1025x2049 runs 44.0 ms int8 vs 23.7 ms bf16
+(0.54x) even with 114/115 convs chained int8->int8 and argmax agreement
+1.0000.  Round 1's unchained path was 0.70x; int8 convs are 1.27x bf16
+STANDALONE, but in-graph XLA materializes the int32 conv accumulators
+before each requant epilogue (2x the HBM bytes of a bf16 activation) and
+the elementwise requant chains don't fuse into the convolutions, so the
+memory-bound segments dominate.  Until XLA fuses int8 conv epilogues (or
+a Pallas conv+requant kernel replaces the hot blocks), bf16 is the
+recommended deploy dtype; this module stays as working infrastructure +
+the accuracy-guardrail tooling.
 
 Accuracy guardrail without labeled data: ``argmax_agreement`` measures
 label-map agreement between the quantized and float models.
@@ -297,6 +307,8 @@ def quant_graph_apply(graph: Graph, params, state, qparams: Dict,
             a = node.attrs
             if "like" in a:
                 ref = vals[a["like"]]
+                if isinstance(ref, _QT):  # shape lives on the int8 payload
+                    ref = ref.q
                 target = (ref.shape[-3], ref.shape[-2])
             elif a.get("to_input"):
                 target = input_hw

@@ -164,13 +164,18 @@ def _dropout(x, node: Node, rng, train: bool):
 
 def graph_apply(graph: Graph, params: Params, state: State,
                 inputs: Dict[str, jnp.ndarray], *, train: bool = False,
-                rng: Optional[jax.Array] = None
+                rng: Optional[jax.Array] = None,
+                input_hw: Optional[Tuple[int, int]] = None
                 ) -> Tuple[Dict[str, jnp.ndarray], State]:
     """Run the graph.  Returns ({output_name: tensor}, new_state).
 
     `new_state` contains updated BN running stats for nodes touched in
     train mode (unchanged entries are passed through), so callers can carry
     it functionally.
+
+    `input_hw` overrides the spatial size that `resize(to_input=True)`
+    nodes target — needed when the graph has been re-rooted at an interior
+    node (fast stem paths) and its input tensor is no longer the image.
     """
     vals: Dict[str, jnp.ndarray] = {}
     new_state: State = dict(state)
@@ -193,7 +198,6 @@ def graph_apply(graph: Graph, params: Params, state: State,
                 drop_rngs[n.name] = keys[i]
                 i += 1
 
-    input_hw = None
     for node in graph.toposorted():
         op = node.op
         if op == "input":

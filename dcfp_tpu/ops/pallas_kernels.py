@@ -17,6 +17,7 @@ channel, matching ``jnp.argmax`` exactly.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -99,6 +100,152 @@ def _resize_argmax_hwc(z, out_hw, align_corners, interpret):
         ],
         interpret=interpret,
     )(z_cm, wh, wwt)
+
+
+# 16 output rows/step: the (R, Wo, 64) out block lane-pads 64->128 and is
+# double-buffered, so R=32 blows the 16MB VMEM budget at Wo=1025
+_STEM_ROW_TILE = 16
+
+
+def extract_stem_phases(image: jnp.ndarray, row_tile: int = _STEM_ROW_TILE
+                        ) -> jnp.ndarray:
+    """(H, W, C) image -> (4*C, Hp, Wp) stride-2 phase planes for
+    :func:`stem_conv3x3_s2` (k3 s2 pad1 'same' semantics).
+
+    Plane p = (a*2 + b)*C + c holds xpad[a::2, b::2, c] where xpad is the
+    zero-padded image; every 3x3/stride-2 tap is then a UNIT-stride window
+    of one plane.  Rationale: NHWC tensors with tiny C are lane-padded to
+    128 on TPU (~42x physical blowup for C=3) and XLA's conv is ~0.45
+    TFLOP/s on them; wide (Hp, Wp) planes restore sane layouts.  Works in
+    numpy too (host-side prep for the 'phases' deploy input format).
+    """
+    h, w, c = image.shape
+    ho, wo = (h + 1) // 2, (w + 1) // 2
+    hp = -(-(ho + 1) // row_tile) * row_tile + 8  # kernel B-block slack
+    wp = wo + 1
+    np_mod = np if isinstance(image, np.ndarray) else jnp
+    xp = np_mod.pad(image, ((1, 1), (1, 1), (0, 0)))
+    planes = []
+    for a in (0, 1):
+        for b in (0, 1):
+            for ch in range(c):
+                p = xp[a::2, b::2, ch]
+                planes.append(np_mod.pad(
+                    p, ((0, hp - p.shape[0]), (0, wp - p.shape[1]))))
+    return np_mod.stack(planes)
+
+
+def _stem_kernel(a_ref, b_ref, w_ref, bias_ref, out_ref, t_ref, *,
+                 cin: int, relu: bool, out_dtype):
+    """One grid step = one tile of output rows.
+
+    a_ref:   (4*cin, R, Wp)    phase-plane rows [r0, r0+R)
+    b_ref:   (4*cin, 8, Wp)    phase-plane rows [r0+R, r0+R+8) (carry row)
+    w_ref:   (Kp, out_ch)      taps-major kernel, rows >= 9*cin zero
+    bias_ref:(1, out_ch)
+    out_ref: (R, Wo, out_ch)
+    t_ref:   (Kp, R, Wo)       tap-stack scratch
+    """
+    wo = out_ref.shape[1]
+    r = out_ref.shape[0]
+    # full memset: zeroing only the K-padding tail rows is an unaligned
+    # 5-sublane write and measured SLOWER (2.16 vs 1.31 ms at 513x1025)
+    t_ref[:] = jnp.zeros(t_ref.shape, t_ref.dtype)
+    t = 0
+    for i in range(3):
+        for j in range(3):
+            for c in range(cin):
+                p = ((i & 1) * 2 + (j & 1)) * cin + c
+                co = j // 2
+                if i // 2 == 0:
+                    t_ref[t, :, :] = a_ref[p, :, co:co + wo]
+                else:  # taps one row down: last row comes from the carry
+                    t_ref[t, :r - 1, :] = a_ref[p, 1:, co:co + wo]
+                    t_ref[t, r - 1:, :] = b_ref[p, :1, co:co + wo]
+                t += 1
+
+    w = w_ref[:]
+    bias = bias_ref[:].astype(jnp.float32)
+
+    # static unroll: Mosaic cannot index the sublane dim dynamically
+    for h in range(r):
+        th = t_ref[:, h, :]  # (Kp, Wo)
+        y = jax.lax.dot_general(th, w, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        y = y + bias
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        out_ref[h, :, :] = y.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cin", "out_hw", "relu",
+                                             "interpret", "out_dtype"))
+def _stem_conv_planes(phases, kernel_km, bias, cin, out_hw, relu,
+                      interpret, out_dtype):
+    ho, wo = out_hw
+    n_planes, hp, wp = phases.shape
+    kp = kernel_km.shape[0]
+    r = _STEM_ROW_TILE
+    grid = (pl.cdiv(ho, r),)
+    return pl.pallas_call(
+        functools.partial(_stem_kernel, cin=cin, relu=relu,
+                          out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_planes, r, wp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_planes, 8, wp), lambda i: (0, (i + 1) * r // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, kernel_km.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bias.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, wo, kernel_km.shape[1]),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ho, wo, kernel_km.shape[1]),
+                                       out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((kp, r, wo), phases.dtype),
+        ],
+        interpret=interpret,
+    )(phases, phases, kernel_km, bias)  # A-rows and B-carry views
+
+
+def stem_conv3x3_s2(phases: jnp.ndarray, kernel: jnp.ndarray,
+                    bias: Optional[jnp.ndarray], out_hw, *,
+                    relu: bool = False, interpret: bool = None
+                    ) -> jnp.ndarray:
+    """3x3/stride-2/'same' conv from stride-2 phase planes (the thin
+    first conv of every backbone stem, reference resnet.py:88-100).
+
+    phases: (4*cin, Hp, Wp) from :func:`extract_stem_phases`
+    kernel: (3, 3, cin, out_ch) HWIO
+    out_hw: static output spatial size ((H+1)//2, (W+1)//2)
+    Returns (out_hw[0], out_hw[1], out_ch) in the phases dtype.
+
+    Numerically identical contraction order to one (9*cin)-K matmul per
+    output row; f32 accumulation.  Measured v5e @1025x2049: a STANDALONE
+    XLA conv on the lane-padded C=3 NHWC input runs at ~0.45 TFLOP/s
+    (3.96 ms) and this kernel at 1.31 ms — but in the full deploy graph
+    XLA already schedules the stem conv at ~0.8 ms, so the end-to-end
+    phases path is neutral (tools/exp_deploy.py); kept for standalone /
+    precomputed-phases uses.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    k = 9 * cin
+    kp = -(-k // 8) * 8
+    # taps-major weight rows ordered (i, j, c) to match the kernel loop
+    km = kernel.reshape(k, cout)
+    km = jnp.pad(km, ((0, kp - k), (0, 0))).astype(phases.dtype)
+    b = (jnp.zeros((1, cout), jnp.float32) if bias is None
+         else bias.reshape(1, cout).astype(jnp.float32))
+    return _stem_conv_planes(phases, km, b, cin,
+                             (int(out_hw[0]), int(out_hw[1])), bool(relu),
+                             bool(interpret), phases.dtype)
 
 
 def resize_argmax(logits: jnp.ndarray, out_hw, align_corners: bool = False,

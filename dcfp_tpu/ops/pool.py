@@ -18,8 +18,13 @@ import numpy as np
 def max_pool(x: jnp.ndarray, kernel: int, stride: int, padding: int
              ) -> jnp.ndarray:
     """NHWC max pooling, torch-style symmetric integer padding."""
-    neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
-           else jnp.iinfo(x.dtype).min)
+    # init value must carry the operand dtype exactly (a bare Python int
+    # weak-types to int32 and reduce_window rejects int8/int32 mixes) but
+    # must stay a host scalar — a jnp array would demote reduce_window to
+    # the generic (non-differentiable) variadic path.
+    dt = np.dtype(x.dtype)
+    neg = (dt.type(-np.inf) if jnp.issubdtype(x.dtype, jnp.floating)
+           else dt.type(jnp.iinfo(x.dtype).min))
     return jax.lax.reduce_window(
         x, neg, jax.lax.max,
         window_dimensions=(1, kernel, kernel, 1),

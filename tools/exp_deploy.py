@@ -3,7 +3,8 @@ pruned R101 deploy model (the bench.py config) under candidate graph
 transforms, one AOT compile + 50-iter benchmark per variant.
 
 Usage: python tools/exp_deploy.py [variant ...]
-Variants: base, pad128, dil12, pad128+dil12 (default: all).
+Variants: base, pad128, dil12, pad128+dil12, nchw, phases, int8
+(default: base nchw phases int8).
 """
 
 import os
@@ -62,6 +63,67 @@ def main(variants):
                     np.asarray(compiled(bundle, image)), ref_labels)
                 print(f"int8 argmax agreement vs bf16: {agree:.4f}",
                       flush=True)
+        elif v == "nchw":
+            img_c = jnp.asarray(np.transpose(np.asarray(image), (0, 3, 1, 2)))
+            fn, dev_params = make_inference_fn(
+                result.graph, result.params, result.state,
+                dtype=jnp.bfloat16, fold_bn=True, output="argmax",
+                input_format="nchw")
+            compiled = aot_compile(fn, dev_params, img_c.shape)
+            stats = benchmark(lambda img: compiled(dev_params, img),
+                              img_c, warmup=warmup, iters=iters)
+            if ref_labels is not None:
+                agree = (np.asarray(compiled(dev_params, img_c))
+                         == ref_labels).mean()
+                print(f"nchw argmax agreement vs base: {agree:.6f}",
+                      flush=True)
+        elif v == "headless":
+            # true in-graph stem cost = base ms - headless ms: same graph
+            # rerooted at the stem conv's output, which is precomputed
+            # once and fed directly (everything AOT-compiled, like base).
+            from dcfp_tpu.engine.deploy import _reroot_at, fold_batchnorm
+            from dcfp_tpu.graph.apply import graph_apply
+            from dcfp_tpu.ops.stem import stem_plan
+            fg, fp, fs = fold_batchnorm(result.graph, result.params,
+                                        result.state)
+            input_name, stem_conv = stem_plan(fg)
+            sub = _reroot_at(fg, stem_conv, input_name)
+            dev_params = jax.tree.map(
+                lambda x: jnp.asarray(x, jnp.bfloat16)
+                if np.asarray(x).dtype.kind == "f" else jnp.asarray(x), fp)
+            outs, _ = graph_apply(
+                fg, dev_params, fs,
+                {"image": image.astype(jnp.bfloat16)}, train=False)
+            y1 = outs[stem_conv] if stem_conv in outs else None
+            if y1 is None:  # stem conv is interior; re-run with it as output
+                fg2 = fg.copy()
+                fg2.outputs = [stem_conv]
+                outs, _ = graph_apply(
+                    fg2, dev_params, fs,
+                    {"image": image.astype(jnp.bfloat16)}, train=False)
+                y1 = outs[stem_conv]
+
+            def fn(p, seed):
+                o, _ = graph_apply(sub, p, fs, {stem_conv: seed},
+                                   train=False,
+                                   input_hw=(shape[1], shape[2]))
+                return jnp.argmax(o["pred"], -1).astype(jnp.uint8)
+
+            compiled = aot_compile(fn, dev_params, y1.shape,
+                                   input_dtype=y1.dtype)
+            stats = benchmark(lambda s: compiled(dev_params, s),
+                              y1, warmup=warmup, iters=iters)
+        elif v == "phases":
+            from dcfp_tpu.ops.pallas_kernels import extract_stem_phases
+            ph = jnp.asarray(np.stack(
+                [extract_stem_phases(np.asarray(image)[0])]))
+            fn, dev_params = make_inference_fn(
+                result.graph, result.params, result.state,
+                dtype=jnp.bfloat16, fold_bn=True, output="argmax",
+                input_format="phases", input_hw=shape[1:3])
+            compiled = aot_compile(fn, dev_params, ph.shape)
+            stats = benchmark(lambda img: compiled(dev_params, img),
+                              ph, warmup=warmup, iters=iters)
         else:
             pad = 128 if "pad128" in v else 0
             apply_mod.DILATED_MATMUL_MIN = (12 if "dil12" in v
@@ -81,4 +143,4 @@ def main(variants):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or ["base", "pad128", "dil12", "pad128+dil12"])
+    main(sys.argv[1:] or ["base", "nchw", "phases", "int8"])

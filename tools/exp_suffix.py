@@ -1,0 +1,141 @@
+"""Suffix profile of the pruned deploy graph: reroot the graph at
+successive interior seeds (seed tensor precomputed once, fed as the
+input), AOT-compile each suffix WITH the full downstream graph intact,
+and time it.  Per-segment cost = difference of adjacent suffixes.
+
+Why not prefix profiling (tools/exp_profile.py): XLA compiles an op
+differently in isolation than in full-graph context — the truncated
+prefix ending at the stem conv measured 3.96 ms while the same conv's
+true in-graph cost (suffix diff, verified e2e) is 0.79 ms.  Suffix
+diffs keep every candidate optimization's real downstream context.
+
+Usage: python tools/exp_suffix.py [iters]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SEEDS = [
+    ("full", None),
+    ("conv1", "backbone.conv1.0"),
+    ("stem-out", "backbone.maxpool"),
+    ("layer1", "backbone.layer1.2.out"),
+    ("layer2", "backbone.layer2.3.out"),
+    ("layer3", "backbone.layer3.22.out"),
+    ("layer4", "backbone.layer4.2.out"),
+    ("aspp", "aspp.relu"),
+    ("classifier", "last_conv.6"),
+]
+
+
+def reroot(graph, seed):
+    """Copy of graph with node ``seed`` as its (only) input and every
+    node not backward-reachable from the outputs removed."""
+    g = graph.copy()
+    node = g.node(seed)
+    node.op = "input"
+    node.inputs = ()
+    node.attrs = {}
+    live, stack = {seed}, list(g.outputs)
+    while stack:
+        n = stack.pop()
+        if n in live:
+            continue
+        live.add(n)
+        stack.extend(g.node(n).inputs)
+    g.nodes = {k: v for k, v in g.nodes.items() if k in live}
+    g.inputs = [seed]
+    return g
+
+
+def main():
+    from dcfp_tpu.engine.deploy import fold_batchnorm
+    from dcfp_tpu.graph.apply import graph_apply, init_graph
+    from dcfp_tpu.models.registry import build_model
+    from dcfp_tpu.prune.eic import prunable_bn_names
+    from dcfp_tpu.prune.search import prune_to_flops
+
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    shape = (1, 1025, 2049, 3)
+    model = build_model(
+        "deeplabv3", backbone="resnet101",
+        backbone_para={"os": 8, "mg_unit": [1, 2, 4], "inplanes": 128},
+        num_classes=19, align_corner=True, deepsup=False)
+    params, state = init_graph(model.graph, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    eic = {bn: np.abs(rng.standard_normal(
+        model.graph.node(bn).attrs["channels"])).astype(np.float32)
+        for bn in prunable_bn_names(model.graph)}
+    result, gp, report = prune_to_flops(
+        model.graph, model.graph, params, state, eic, prune_ratio=0.5,
+        layer_keep=0.02, except_start_keys=(), channel_align=128)
+    graph, p, s = fold_batchnorm(result.graph, result.params, result.state)
+    dev_p = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.bfloat16)
+        if np.asarray(x).dtype.kind == "f" else jnp.asarray(x), p)
+    image = jnp.asarray(rng.uniform(-1, 1, shape).astype(np.float32))
+
+    # all seed tensors in one jitted pass
+    names = set(n.name for n in graph.toposorted())
+    seed_names = [c for _, c in SEEDS if c is not None and c in names]
+    gall = graph.copy()
+    gall.outputs = seed_names
+
+    @jax.jit
+    def seeds_fn(p, image):
+        outs, _ = graph_apply(gall, p, s,
+                              {"image": image.astype(jnp.bfloat16)},
+                              train=False)
+        return outs
+    seed_vals = seeds_fn(dev_p, image)
+
+    rows = []
+    for label, cut in SEEDS:
+        if cut is not None and cut not in names:
+            print(f"({label}: node {cut} not in graph, skipped)")
+            continue
+        if cut is None:
+            g, feed_name, feed = graph, "image", image
+        else:
+            g, feed_name, feed = reroot(graph, cut), cut, seed_vals[cut]
+
+        def fn(p, x, g=g, feed_name=feed_name):
+            outs, _ = graph_apply(g, p, s, {feed_name: x}, train=False,
+                                  input_hw=(shape[1], shape[2]))
+            return jnp.argmax(outs["pred"], -1).astype(jnp.uint8)
+
+        spec = jax.ShapeDtypeStruct(feed.shape, feed.dtype)
+        pspec = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), dev_p)
+        if cut is None:
+            def fn(p, x, g=g):  # noqa: F811 — full graph takes f32 image
+                outs, _ = graph_apply(
+                    g, p, s, {"image": x.astype(jnp.bfloat16)}, train=False)
+                return jnp.argmax(outs["pred"], -1).astype(jnp.uint8)
+        compiled = jax.jit(fn).lower(pspec, spec).compile()
+        for _ in range(5):
+            out = compiled(dev_p, feed)
+        np.asarray(out.ravel()[0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = compiled(dev_p, feed)
+        np.asarray(out.ravel()[0])
+        ms = (time.perf_counter() - t0) / iters * 1000
+        rows.append((label, ms))
+        print(f"suffix after {label:11s}: {ms:7.2f} ms", flush=True)
+
+    print()
+    for (l0, m0), (l1, m1) in zip(rows, rows[1:]):
+        print(f"segment {l0:11s} -> {l1:11s}: {m0 - m1:6.2f} ms")
+    print(f"\npruned gp={gp} flops_ratio={report['flops_ratio']:.4f}")
+
+
+if __name__ == "__main__":
+    main()
