@@ -64,3 +64,30 @@ def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = False
         ww = jnp.asarray(_interp_matrix(w, out_w, align_corners), compute)
         xf = jnp.einsum("ow,...hwc->...hoc", ww, xf)
     return xf.astype(dtype)
+
+
+def resize_bilinear_cf(x: jnp.ndarray, out_hw, align_corners: bool = False
+                       ) -> jnp.ndarray:
+    """Channels-first bilinear resize: x is (..., C, H, W) and W stays the
+    minor (lane) axis throughout.
+
+    Same interpolation matrices (and numerics) as :func:`resize_bilinear`;
+    this variant exists because thin-channel NHWC tensors lane-pad C to
+    128 on TPU (a 6.7x physical blowup for 19-class logits), which made
+    the full-resolution loss towers of the train step HBM-bound.  Keeping
+    the spatial W axis minor costs only the 128-multiple padding of W.
+    """
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    h, w = x.shape[-2], x.shape[-1]
+    if (h, w) == (out_h, out_w):
+        return x
+    dtype = x.dtype
+    compute = jnp.promote_types(dtype, jnp.float32)
+    xf = x.astype(compute)
+    if h != out_h:
+        wh = jnp.asarray(_interp_matrix(h, out_h, align_corners), compute)
+        xf = jnp.einsum("oh,...hw->...ow", wh, xf)
+    if w != out_w:
+        ww = jnp.asarray(_interp_matrix(w, out_w, align_corners), compute)
+        xf = jnp.einsum("ow,...hw->...ho", ww, xf)
+    return xf.astype(dtype)

@@ -168,3 +168,21 @@ def test_build_criterions_combined(rng):
     both = crit(preds, lab)["loss"]
     np.testing.assert_allclose(float(both), float(ce_only) + float(gsrl_only),
                                rtol=1e-6)
+
+
+@pytest.mark.parametrize("loss_type", ["ce", "gsrl", "ohem"])
+def test_channels_first_layout_equivalence(rng, loss_type):
+    """The NCHW criterion path (used by the fused-loss-tail train step,
+    engine/trainer.py) must match the NHWC path exactly — same math,
+    different layout."""
+    logits, labels = make_batch(rng)
+    aux, _ = make_batch(rng)
+    weight = rng.random(labels.shape).astype(np.float32)
+    crit = build_criterions(loss_type, ignore_label=255,
+                            loss_para={"ohem_keep": 64})
+    lab = {"ori": jnp.asarray(labels), "weight": jnp.asarray(weight)}
+    preds = {"pred": jnp.asarray(logits), "deepsup": jnp.asarray(aux)}
+    preds_cf = {k: jnp.transpose(v, (0, 3, 1, 2)) for k, v in preds.items()}
+    ref = float(crit(preds, lab)["loss"])
+    cf = float(crit(preds_cf, lab, channels_first=True)["loss"])
+    np.testing.assert_allclose(cf, ref, rtol=1e-6)

@@ -181,3 +181,53 @@ def test_train_loop_windowed_nan_guard(rng):
     state2 = create_train_state(model, params2, bn2, tx)
     with pytest.raises(FloatingPointError, match="step 3"):
         loop.run(state2, batches(poison_at=3), jax.random.key(3))
+
+
+def tiny_resize_model(num_classes=5, deepsup=True):
+    """Tiny model whose outputs are resize(to_input) nodes like the real
+    heads — triggers the fused loss tail in make_train_step."""
+    b = GraphBuilder("tinyr")
+    x = b.input("image")
+    x = b.conv_bn_relu(x, "s", out_ch=8, kernel=3, stride=2)
+    z = b.conv(x, "cls", out_ch=num_classes, kernel=1, padding=0, bias=True)
+    outs = [b.resize(z, "pred", to_input=True, align_corners=True)]
+    if deepsup:
+        d = b.conv(x, "dcls", out_ch=num_classes, kernel=1, padding=0,
+                   bias=True)
+        outs.append(b.resize(d, "deepsup", to_input=True,
+                             align_corners=True))
+    g = b.finish(outs)
+    g.ignore_prune = []
+    return SegModel(g, "tinyr", "none", num_classes, True, deepsup, {}, {})
+
+
+def test_fused_loss_tail_matches_unfused(rng):
+    """fuse_loss_tail moves each head's final upsample out of the graph
+    and evaluates the criterion channels-first; loss and the resulting
+    update must match the in-graph NHWC path."""
+    model = tiny_resize_model()
+    params, bn_state = init_graph(model.graph, jax.random.key(0))
+    tx = build_optimizer(optim="sgd", learning_rate=0.05, num_steps=100)
+    crit = build_criterions("gsrl", ignore_label=255)
+    batch = make_batch(rng)
+    batch["label"] = {
+        "ori": batch["label"],
+        "weight": jnp.asarray(rng.random(batch["label"].shape,
+                                         dtype=np.float32)),
+    }
+    key = jax.random.key(1)
+
+    results = []
+    for fused in (False, True):
+        # fresh copies: the jitted step donates (and deletes) its input state
+        state = create_train_state(model, jax.tree.map(jnp.copy, params),
+                                   jax.tree.map(jnp.copy, bn_state), tx,
+                                   prune_type="dcfp")
+        step = make_train_step(model, crit, tx, fuse_loss_tail=fused)
+        state, m = step(state, batch, key)
+        results.append((float(m["loss"]), state))
+    (l0, s0), (l1, s1) = results
+    np.testing.assert_allclose(l1, l0, rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        s0.params, s1.params)

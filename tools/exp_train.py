@@ -1,11 +1,19 @@
 """Train-step optimization experiments: time the full jitted train step
 (fwd + GSRL loss + bwd + EIC + SGD) at the Cityscapes recipe shape under
-candidate settings.
+candidate settings, plus ablation modes that attribute time to step
+components (the backward cannot be suffix-profiled like the deploy
+graph, so we ablate instead).
 
-Usage: python tools/exp_train.py [dilated_matmul_min ...]
-Default sweeps DILATED_MATMUL_MIN over {18 (current), 8, 4, 2} — the
-backward of XLA's native dilated conv (lhs_dilation path) is a suspected
-hot spot (docs/ROADMAP.md item 2).
+Usage: python tools/exp_train.py [variant ...]
+Variants:
+  minN      DILATED_MATMUL_MIN=N (e.g. min18 current, min2 rewrite all)
+  fwd       forward + loss only, no grad/opt (isolates the backward)
+  unfused   in-graph NHWC loss tail (the pre-fusion layout, for A/B)
+  ce        CE-DSN loss instead of GSRL (isolates GSRL's extra cost)
+  nodeepsup deepsup head off (single-head fwd+bwd)
+  noeic     EIC scoring off
+  frozenbn  BN in eval mode inside the step (isolates BN-stat cost)
+Env: DCFP_EXP_BATCH (default 4).
 """
 
 import os
@@ -23,15 +31,16 @@ def sync(x):
     return np.asarray(jax.tree.leaves(x)[-1].ravel()[0])
 
 
-def main(mins):
+def main(variants):
     import dcfp_tpu.graph.apply as apply_mod
     from dcfp_tpu.engine.optim import build_optimizer
     from dcfp_tpu.engine.trainer import create_train_state, make_train_step
-    from dcfp_tpu.graph.apply import init_graph
+    from dcfp_tpu.graph.apply import graph_apply, init_graph
     from dcfp_tpu.losses.criteria import build_criterions
     from dcfp_tpu.models.registry import build_model
 
-    batch, hw = 4, 769
+    batch = int(os.environ.get("DCFP_EXP_BATCH", "4"))
+    hw = 769
     rng = np.random.default_rng(0)
     lab = rng.integers(0, 19, (batch, hw, hw)).astype(np.int32)
     b = {
@@ -43,40 +52,80 @@ def main(mins):
                 0.5, 2.0, (batch, hw, hw)).astype(np.float32)),
         },
     }
+    default_min = apply_mod.DILATED_MATMUL_MIN
 
-    for m in mins:
-        apply_mod.DILATED_MATMUL_MIN = int(m)
+    for v in variants:
+        apply_mod.DILATED_MATMUL_MIN = (
+            int(v[3:]) if v.startswith("min") else default_min)
+        deepsup = v != "nodeepsup"
         model = build_model(
             "deeplabv3", backbone="resnet50",
             backbone_para={"os": 8, "mg_unit": [1, 2, 4], "inplanes": 128},
-            num_classes=19, align_corner=True, deepsup=True)
+            num_classes=19, align_corner=True, deepsup=deepsup)
         params, bn = init_graph(model.graph, jax.random.key(0))
-        tx = build_optimizer(optim="sgd", learning_rate=0.01, momentum=0.9,
-                             weight_decay=5e-4, num_steps=1000, warmup=0)
-        state = create_train_state(model, params, bn, tx, prune_type="dcfp")
-        crit = build_criterions("gsrl", ignore_label=255)
-        step = make_train_step(model, crit, tx, compute_dtype=jnp.bfloat16)
-
+        crit = build_criterions("ce" if v == "ce" else "gsrl",
+                                ignore_label=255)
         key = jax.random.key(1)
-        t_compile = time.time()
-        state, metrics = step(state, b, key)
-        sync(metrics)
-        print(f"min={m}: compile+first {time.time()-t_compile:.1f}s",
-              flush=True)
-        for _ in range(2):  # warmup
+
+        if v == "fwd":
+            @jax.jit
+            def step(params, bn, b, key):
+                img = b["img"].astype(jnp.bfloat16)
+                preds, _ = graph_apply(model.graph, params, bn,
+                                       {"image": img}, train=True, rng=key)
+                return crit(preds, b["label"])["loss"]
+
+            t_c = time.time()
+            sync(step(params, bn, b, key))
+            print(f"{v}: compile+first {time.time()-t_c:.1f}s", flush=True)
+            for _ in range(2):
+                out = step(params, bn, b, key)
+            sync(out)
+            iters = 20
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = step(params, bn, b, key)
+            sync(out)
+        else:
+            tx = build_optimizer(optim="sgd", learning_rate=0.01,
+                                 momentum=0.9, weight_decay=5e-4,
+                                 num_steps=1000, warmup=0)
+            if v == "frozenbn":
+                import dcfp_tpu.engine.trainer as trainer_mod
+                orig_apply = trainer_mod.graph_apply
+
+                def frozen_apply(g, p, s, i, *, train=False, rng=None,
+                                 **kw):
+                    return orig_apply(g, p, s, i, train=False, rng=rng,
+                                      **kw)
+                trainer_mod.graph_apply = frozen_apply
+            state = create_train_state(
+                model, params, bn,
+                tx, prune_type=None if v == "noeic" else "dcfp")
+            step = make_train_step(model, crit, tx,
+                                   compute_dtype=jnp.bfloat16,
+                                   fuse_loss_tail=(v != "unfused"))
+            t_c = time.time()
             state, metrics = step(state, b, key)
-        sync(metrics)
-        iters = 10
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, metrics = step(state, b, key)
-        sync(metrics)
+            sync(metrics)
+            print(f"{v}: compile+first {time.time()-t_c:.1f}s", flush=True)
+            for _ in range(2):
+                state, metrics = step(state, b, key)
+            sync(metrics)
+            iters = 10
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, metrics = step(state, b, key)
+            sync(metrics)
+            if v == "frozenbn":
+                trainer_mod.graph_apply = orig_apply
         dt = (time.perf_counter() - t0) / iters * 1000
-        print(f"VARIANT dilated_matmul_min={m}: {dt:.1f} ms/step "
+        print(f"VARIANT {v} (batch {batch}): {dt:.1f} ms/step "
               f"({batch * 1000 / dt:.2f} img/s)", flush=True)
-        del state, step, model, params, bn
         jax.clear_caches()
+    apply_mod.DILATED_MATMUL_MIN = default_min
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or [18, 8, 4, 2])
+    main(sys.argv[1:] or ["min18", "min2", "fwd", "ce", "nodeepsup",
+                          "noeic", "frozenbn"])
