@@ -8,6 +8,7 @@ Variants: base, pad128, dil12, pad128+dil12, nchw, phases, int8
 """
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -126,7 +127,8 @@ def main(variants):
                               ph, warmup=warmup, iters=iters)
         else:
             pad = 128 if "pad128" in v else 0
-            apply_mod.DILATED_MATMUL_MIN = (12 if "dil12" in v
+            m = re.match(r".*dil(\d+)", v)
+            apply_mod.DILATED_MATMUL_MIN = (int(m.group(1)) if m
                                             else default_min)
             fn, dev_params = make_inference_fn(
                 result.graph, result.params, result.state,
