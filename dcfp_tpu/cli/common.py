@@ -54,7 +54,8 @@ def add_model_args(p: argparse.ArgumentParser, default_model="deeplabv3",
     p.add_argument("--model-para", type=json_para, default={})
     p.add_argument("--align-corner", type=str2bool, default=True)
     p.add_argument("--channel-cfg", type=str, default=None,
-                   help="path to channel_cfg.msgpack (pruned widths)")
+                   help="path to channel_cfg.msgpack (pruned widths); "
+                        "also accepts a reference channel_cfg.pth")
 
 
 def add_data_args(p: argparse.ArgumentParser, split="train"):

@@ -42,9 +42,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset", type=str, default="CS")
     p.add_argument("--save-path", type=str, default="./ckpt")
     p.add_argument("--model-path", type=str, required=True,
-                   help="pretrained snapshot (.msgpack)")
+                   help="pretrained snapshot (.msgpack, or a reference "
+                        "torch .pth)")
     p.add_argument("--score-path", type=str, required=True,
-                   help="EIC scores (score.msgpack)")
+                   help="EIC scores (score.msgpack, or a reference "
+                        "score.pth)")
     p.add_argument("--prune-ratio", type=float, default=0.6,
                    help="FLOPs reduction target")
     p.add_argument("--start_global_percent", type=float, default=0.5)

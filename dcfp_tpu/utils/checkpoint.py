@@ -56,6 +56,60 @@ def load_pytree(path: str) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# reference (.pth) artifact interop
+# ---------------------------------------------------------------------------
+# Every loader below also accepts the reference's torch artifacts, so a
+# user switching from wzx99/DCFP can point the CLIs straight at their
+# existing files: full/pruned model checkpoints (train.py:278-282,
+# prune.py:97), channel_cfg.pth (channel_pruner.py:821-842 — the same
+# schema this framework exports), and score.pth ({'eic': {bn: tensor}},
+# dcfp_pruner.py:25-26).  torch is a conversion-time-only dependency.
+
+def _is_torch_file(path: str) -> bool:
+    return path.endswith((".pth", ".pt"))
+
+
+def _torch_load(path: str):
+    import torch  # local: only needed when reading reference artifacts
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def _torch_trees(sd, params_template: Any, state_template: Any):
+    """Reference state_dict -> (params, state) trees shaped like the
+    templates.  Name-driven: graph node names equal reference module
+    paths, conv kernels transpose OIHW->HWIO (models/convert.py does the
+    same for graphs; this variant only needs the param templates)."""
+    from dcfp_tpu.models.convert import _to_np, _unwrap
+    sd = dict(_unwrap(sd))
+    params: Dict[str, Any] = {}
+    state: Dict[str, Any] = {}
+    for name, leaf in (params_template or {}).items():
+        if "kernel" in leaf:
+            w = sd.get(f"{name}.weight")
+            if w is None:
+                continue
+            entry = {"kernel": np.ascontiguousarray(np.transpose(
+                _to_np(w), (2, 3, 1, 0)).astype(np.float32))}
+            b = sd.get(f"{name}.bias")
+            if "bias" in leaf and b is not None:
+                entry["bias"] = _to_np(b).astype(np.float32)
+            params[name] = entry
+        elif "scale" in leaf:
+            w, b = sd.get(f"{name}.weight"), sd.get(f"{name}.bias")
+            if w is None:
+                continue
+            params[name] = {"scale": _to_np(w).astype(np.float32),
+                            "bias": _to_np(b).astype(np.float32)}
+    for name in (state_template or {}):
+        rm = sd.get(f"{name}.running_mean")
+        rv = sd.get(f"{name}.running_var")
+        if rm is not None:
+            state[name] = {"mean": _to_np(rm).astype(np.float32),
+                           "var": _to_np(rv).astype(np.float32)}
+    return params, state
+
+
+# ---------------------------------------------------------------------------
 # strict resume (TrainState round-trip)
 # ---------------------------------------------------------------------------
 
@@ -124,14 +178,21 @@ def load_params_non_strict(path: str, params_template: Any,
                            state_template: Optional[Any] = None):
     """Load a snapshot or bare params file into (params, bn_state)
     templates.  Accepts full TrainState snapshots (uses their
-    params/bn_state entries), pruned.msgpack ({'params','state'}), or a
-    bare params tree."""
-    raw = load_pytree(path)
-    if isinstance(raw, dict) and "params" in raw:
-        loaded_params = raw["params"]
-        loaded_state = raw.get("bn_state", raw.get("state"))
+    params/bn_state entries), pruned.msgpack ({'params','state'}), a
+    bare params tree, or a reference torch ``.pth`` checkpoint
+    (auto-converted by module-path name)."""
+    if _is_torch_file(path):
+        loaded_params, loaded_state = _torch_trees(
+            _torch_load(path), params_template, state_template)
+        log.info("converted reference checkpoint %s (%d param nodes)",
+                 path, len(loaded_params))
     else:
-        loaded_params, loaded_state = raw, None
+        raw = load_pytree(path)
+        if isinstance(raw, dict) and "params" in raw:
+            loaded_params = raw["params"]
+            loaded_state = raw.get("bn_state", raw.get("state"))
+        else:
+            loaded_params, loaded_state = raw, None
     params, _, _ = merge_params(params_template, loaded_params)
     if state_template is not None and loaded_state is not None:
         bn_state, _, _ = merge_params(state_template, loaded_state)
@@ -148,6 +209,11 @@ def save_eic(path: str, eic: Dict[str, np.ndarray]) -> None:
 
 
 def load_eic(path: str) -> Dict[str, np.ndarray]:
+    if _is_torch_file(path):
+        from dcfp_tpu.models.convert import _to_np
+        blob = _torch_load(path)
+        eic = blob.get("eic", blob)  # reference: {'eic': {bn: tensor}}
+        return {k: _to_np(v).astype(np.float32) for k, v in eic.items()}
     return {k: np.asarray(v) for k, v in load_pytree(path).items()}
 
 
@@ -156,7 +222,13 @@ def save_channel_cfg(path: str, channel_cfg: Dict) -> None:
 
 
 def load_channel_cfg(path: str) -> Dict:
-    cfg = load_pytree(path)
+    if _is_torch_file(path):
+        from dcfp_tpu.models.convert import _to_np
+        cfg = {name: {k: (v if isinstance(v, int) else _to_np(v))
+                      for k, v in entry.items()}
+               for name, entry in _torch_load(path).items()}
+    else:
+        cfg = load_pytree(path)
     out = {}
     for name, entry in cfg.items():
         out[name] = {k: (int(v) if np.ndim(v) == 0 else np.asarray(v))
