@@ -113,7 +113,10 @@ def main(argv=None) -> int:
         aot_params = ckpt.load_pytree(params_path)
         aot_params = jax.tree.map(jnp.asarray, aot_params)
         predictor = Predictor(graph, params, bn_state, dtype=dtype)
+        # the serialized deploy executable already emits argmax labels;
+        # route both predictor entry points through it
         predictor._fwd = lambda p, s, image: run(aot_params, image)
+        predictor._fwd_argmax = predictor._fwd
     else:
         mesh = None
         if args.eval_shard != "none":
