@@ -71,6 +71,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="torch backbone checkpoint (.pth) to convert; "
                         "'auto' resolves via the path registry")
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--compact-batches", type=str2bool, default=True,
+                   help="ship uint8 batches and normalize / expand "
+                        "weight maps on device (~6x less host->device "
+                        "traffic); false = classic f32 host batches")
     return p
 
 
@@ -96,18 +100,26 @@ def _resolve_pretrained(args, graph, params, bn_state):
 
 
 def device_batches(loader, mesh, spatial: bool):
-    """Host batches -> mesh-sharded device batches (drops img_meta,
-    int32 labels)."""
+    """Host batches -> mesh-sharded device batches (drops img_meta).
+    Compact batches (uint8 img + weight_class vectors, the default) ship
+    as-is — normalization / weight expansion happen inside the train
+    step (engine/trainer.expand_batch); classic f32 batches are widened
+    here like before."""
     from dcfp_tpu.parallel.mesh import shard_batch
     for batch in loader:
+        out = {"img": batch["img"]}
+        if batch["img"].dtype != np.uint8:
+            out["img"] = batch["img"].astype(np.float32)
         label = batch["label"]
-        if isinstance(label, dict):
+        if isinstance(label, dict) and "weight_class" not in label:
             label = {"ori": label["ori"].astype(np.int32),
                      "weight": label["weight"].astype(np.float32)}
-        else:
+        elif not isinstance(label, dict) and label.dtype != np.uint8:
             label = label.astype(np.int32)
-        yield shard_batch(mesh, {"img": batch["img"].astype(np.float32),
-                                 "label": label}, spatial)
+        out["label"] = label
+        if "pad" in batch:
+            out["pad"] = batch["pad"]
+        yield shard_batch(mesh, out, spatial)
 
 
 def main(argv=None) -> int:
@@ -129,7 +141,8 @@ def main(argv=None) -> int:
     from dcfp_tpu.prune.pruner import apply_channel_cfg
     from dcfp_tpu.utils import checkpoint as ckpt
 
-    dataset = build_dataset_from_args(args, "train", resample=args.resample)
+    dataset = build_dataset_from_args(args, "train", resample=args.resample,
+                                      compact=args.compact_batches)
     loader = TrainLoader(dataset, args.batch_size, seed=args.random_seed,
                          prefetch=args.num_workers)
 
@@ -203,7 +216,9 @@ def main(argv=None) -> int:
                      snapshot_hook=snapshot_hook,
                      log_every=args.log_every,
                      prune_type=args.prune_type,
-                     compute_dtype=compute_dtype(args))
+                     compute_dtype=compute_dtype(args),
+                     normalize=(dataset.mean, dataset.std),
+                     ignore_label=dataset.ignore_label)
 
     batches = device_batches(iter(loader), mesh, spatial > 1)
     try:

@@ -37,7 +37,7 @@ class BaseDataset:
                  balance: int = 0, resample: bool = False,
                  beta: float = 0.9999, longsize: int = -1,
                  shortsize: int = -1, seed: int = 0, native: bool = True,
-                 **kwargs):
+                 compact: bool = False, **kwargs):
         self.split = split
         self.crop_h, self.crop_w = crop_size
         self.mean = np.asarray(mean, np.float32)
@@ -53,6 +53,7 @@ class BaseDataset:
         self.short_size = shortsize
         self.seed = seed
         self.native = native  # fused C++ crop/normalize when available
+        self.compact = compact  # uint8 batches, normalize on device
         self.rng = np.random.default_rng(seed)
         # subclasses fill these:
         self.files: List[Dict[str, str]] = []
@@ -273,6 +274,8 @@ class BaseDataset:
             image, label = self.generate_scale_label(image, label)
         if self.brightness:
             image = self.photometric(image)
+        if self.compact:
+            return self._compact_item(image, label, img_meta)
         out = self._native_tail(image, label, img_meta)
         if out is not None:
             image, label = out
@@ -285,6 +288,70 @@ class BaseDataset:
         labels = self.get_label(label, img_meta)
         return {"img": np.ascontiguousarray(image), "label": labels,
                 "img_meta": img_meta}
+
+    def _compact_item(self, image, label, img_meta):
+        """Compact batch format: uint8 RGB crop + uint8 labels + a
+        per-image class-weight vector, with normalization / weight-map
+        expansion deferred to the device (engine/trainer.expand_batch).
+
+        Rationale (measured on a tunneled chip, but the arithmetic holds
+        for any host link): the classic f32 batch is ~113 MB at the
+        Cityscapes recipe shape (f32 image + int64 labels + f32 weight
+        map) vs ~19 MB compact — and the host skips the f32 normalize
+        pass entirely.  ``pad`` = (h_valid, w_valid, flip) lets the
+        device reproduce the reference's post-normalize zero padding
+        exactly (pad pixels are 0.0 AFTER normalize, Base.py:184-201,
+        and the horizontal flip mirrors them to the left edge).
+        Draws the PRNG in the same order as the classic tail, so equal
+        seeds produce equal crops.
+        """
+        img_h, img_w = label.shape
+        pad_h = max(self.crop_h - img_h, 0)
+        pad_w = max(self.crop_w - img_w, 0)
+        if pad_h or pad_w:
+            image = cv2.copyMakeBorder(image, 0, pad_h, 0, pad_w,
+                                       cv2.BORDER_CONSTANT, value=(0, 0, 0))
+            label = cv2.copyMakeBorder(label, 0, pad_h, 0, pad_w,
+                                       cv2.BORDER_CONSTANT,
+                                       value=(self.ignore_label,))
+        h_off, w_off = self.get_crop_location(label, img_meta)
+        img_c = image[h_off:h_off + self.crop_h,
+                      w_off:w_off + self.crop_w, ::-1]  # BGR -> RGB
+        lab_c = label[h_off:h_off + self.crop_h, w_off:w_off + self.crop_w]
+        flip = bool(self.is_mirror and self.rng.integers(0, 2) == 1)
+        if flip:
+            img_c = img_c[:, ::-1]
+            lab_c = lab_c[:, ::-1]
+        h_valid = int(min(self.crop_h, img_h - h_off))
+        w_valid = int(min(self.crop_w, img_w - w_off))
+        lab_c = np.ascontiguousarray(lab_c, dtype=np.uint8)
+        if self.balance > 0:
+            labels = {"ori": lab_c,
+                      "weight_class": self._weight_class(lab_c, img_meta)}
+        else:
+            labels = lab_c
+        return {"img": np.ascontiguousarray(img_c), "label": labels,
+                "pad": np.array([h_valid, w_valid, int(flip)], np.int32),
+                "img_meta": img_meta}
+
+    def _weight_class(self, label: np.ndarray, img_meta: Dict) -> np.ndarray:
+        """(num_classes + 1,) per-class pixel weights of this crop
+        (trailing entry = 0.0 for ignore), the factored form of
+        get_label's per-pixel map."""
+        lb = label.astype(np.int64, copy=True)
+        lb[label == self.ignore_label] = self.num_classes
+        class_num = np.bincount(lb.reshape(-1),
+                                minlength=self.num_classes + 1)[:-1]
+        if self.balance == 1:
+            weight_class = 1.0 / (class_num + 1)
+        elif self.balance == 2:
+            weight_class = ((1 + 1e-8 - self.beta **
+                             class_num[img_meta["class"]]) /
+                            (1 + 1e-8 - self.beta ** class_num))
+        else:
+            raise ValueError(f"balance={self.balance}")
+        weight_class = np.clip(weight_class, 0.0, 1.0)
+        return np.append(weight_class, 0.0).astype(np.float32)
 
     def _native_tail(self, image, label, img_meta):
         """Fused C++ normalize+pad+crop+flip (dcfp_tpu.native) — one pass

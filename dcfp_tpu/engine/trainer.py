@@ -48,10 +48,56 @@ def create_train_state(model: SegModel, params, bn_state, tx,
                       bn_state=bn_state, opt_state=tx.init(params), eic=eic)
 
 
+def expand_batch(batch, normalize, num_classes: int, ignore_label: int,
+                 compute_dtype):
+    """Expand a compact batch (data/base.py ``compact=True``) on device:
+    uint8 RGB images normalize to the classic f32 values (with the
+    reference's post-normalize zero padding reproduced from the ``pad``
+    validity triple), uint8 labels widen to int32, and per-image class
+    weight vectors gather into the per-pixel GSRL weight map.  Classic
+    f32 batches pass through unchanged.  Keeping batches uint8 until the
+    device cuts host->device traffic ~6x at the Cityscapes recipe shape
+    and removes the host normalize pass."""
+    img = batch["img"]
+    if img.dtype == jnp.uint8:
+        if normalize is None:
+            raise ValueError("uint8 (compact) batches need "
+                             "make_train_step(..., normalize=(mean, std))")
+        mean, std = normalize
+        x = img.astype(jnp.float32) / 255.0
+        x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(
+            std, jnp.float32)
+        pad = batch.get("pad")
+        if pad is not None:
+            n, h, w = img.shape[:3]
+            rows = jnp.arange(h)[None, :, None]
+            cols = jnp.arange(w)[None, None, :]
+            hv = pad[:, 0][:, None, None]
+            wv = pad[:, 1][:, None, None]
+            fl = pad[:, 2][:, None, None]
+            valid = (rows < hv) & jnp.where(fl > 0, cols >= w - wv,
+                                            cols < wv)
+            x = jnp.where(valid[..., None], x, 0.0)
+        img = x
+    img = img.astype(compute_dtype)
+    lab = batch["label"]
+    if isinstance(lab, dict) and "weight_class" in lab:
+        ori = lab["ori"].astype(jnp.int32)
+        idx = jnp.where(ori == ignore_label, num_classes, ori)
+        weight = jax.vmap(jnp.take)(lab["weight_class"], idx)
+        lab = {"ori": ori, "weight": weight}
+    elif isinstance(lab, dict):
+        lab = {"ori": lab["ori"].astype(jnp.int32), "weight": lab["weight"]}
+    else:
+        lab = lab.astype(jnp.int32)
+    return img, lab
+
+
 def make_train_step(model: SegModel, criterion: Criterion,
                     tx: optax.GradientTransformation, *,
                     eic_r: float = 0.999, compute_dtype=jnp.float32,
-                    fuse_loss_tail: bool = True) -> Callable:
+                    fuse_loss_tail: bool = True, normalize=None,
+                    ignore_label: int = 255) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
     ``batch``: {'img': NHWC float, 'label': (N,H,W) int or
@@ -79,7 +125,8 @@ def make_train_step(model: SegModel, criterion: Criterion,
         run_graph.outputs = [graph.node(o).inputs[0] for o in graph.outputs]
 
     def loss_fn(params, bn_state, batch, rng):
-        img = batch["img"].astype(compute_dtype)
+        img, labels = expand_batch(batch, normalize, model.num_classes,
+                                   ignore_label, compute_dtype)
         outs, new_bn = graph_apply(run_graph, params, bn_state,
                                    {"image": img}, train=True, rng=rng)
         if tails:
@@ -91,10 +138,9 @@ def make_train_step(model: SegModel, criterion: Criterion,
                 z = jnp.transpose(outs[node.inputs[0]], (0, 3, 1, 2))
                 preds[alias] = resize_bilinear_cf(
                     z, hw, node.attrs["align_corners"])
-            loss = criterion(preds, batch["label"],
-                             channels_first=True)["loss"]
+            loss = criterion(preds, labels, channels_first=True)["loss"]
         else:
-            loss = criterion(outs, batch["label"])["loss"]
+            loss = criterion(outs, labels)["loss"]
         return loss, new_bn
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -135,12 +181,16 @@ class TrainLoop:
     prune_type: Optional[str] = None
     eic_r: float = 0.999
     compute_dtype: Any = jnp.float32
+    normalize: Optional[tuple] = None  # (mean, std) for compact batches
+    ignore_label: int = 255
 
     def run(self, state: TrainState, batches, rng: jax.Array,
             start_step: int = 0) -> TrainState:
         train_step = make_train_step(self.model, self.criterion, self.tx,
                                      eic_r=self.eic_r,
-                                     compute_dtype=self.compute_dtype)
+                                     compute_dtype=self.compute_dtype,
+                                     normalize=self.normalize,
+                                     ignore_label=self.ignore_label)
         t0, last = time.time(), start_step
         # Device-resident loss scalars, fetched once per log window: a
         # per-step float() would force a host round trip every step and

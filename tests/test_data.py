@@ -191,3 +191,37 @@ def test_vendored_paths_registry_resolves():
                       ("COCO", "train"), ("COCO", "val")]:
         _, lst = paths.data_dir(ds, split)
         assert os.path.isfile(lst), (ds, split, lst)
+
+
+def test_compact_item_matches_classic(cs_fixture):
+    """compact=True (uint8 crops + deferred normalize, engine/trainer.
+    expand_batch) must reproduce the classic f32 path exactly, including
+    the post-normalize zero padding and the mirrored flip."""
+    import jax.numpy as jnp
+    from dcfp_tpu.data.loader import collate
+    from dcfp_tpu.engine.trainer import expand_batch
+
+    kw = dict(split="train", crop_size=(112, 144), balance=1, scale=True,
+              mirror=True, brightness=True)
+    root, manifest = cs_fixture
+    classic = CityscapesDataset(root, manifest, seed=7, **kw)
+    compact = CityscapesDataset(root, manifest, seed=7, compact=True, **kw)
+
+    batch_classic = collate([classic[i] for i in range(3)])
+    batch_compact = collate([compact[i] for i in range(3)])
+    assert batch_compact["img"].dtype == np.uint8
+    assert batch_compact["label"]["ori"].dtype == np.uint8
+    assert batch_compact["label"]["weight_class"].shape == (3, 20)
+
+    import jax
+    dev_batch = jax.tree.map(jnp.asarray, {
+        k: v for k, v in batch_compact.items() if k != "img_meta"})
+    img, labels = expand_batch(dev_batch, (compact.mean, compact.std),
+                               19, 255, jnp.float32)
+    np.testing.assert_allclose(np.asarray(img), batch_classic["img"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(labels["ori"]),
+                                  batch_classic["label"]["ori"])
+    np.testing.assert_allclose(np.asarray(labels["weight"]),
+                               batch_classic["label"]["weight"],
+                               rtol=1e-6, atol=1e-7)
