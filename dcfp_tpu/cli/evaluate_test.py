@@ -44,6 +44,7 @@ def get_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = get_parser().parse_args(argv)
+    import cv2
     from PIL import Image as PILImage
 
     from dcfp_tpu.data.loader import EvalLoader
@@ -96,15 +97,23 @@ def main(argv=None) -> int:
                 image = np.pad(image, ((0, 0), (0, ph - hw[0]),
                                        (0, pw - hw[1]), (0, 0)))
         if args.whole and tuple(scales) == (1.0,) and not args.flip:
-            out = np.asarray(predictor.predict_whole(image))
+            out = np.asarray(predictor.predict_whole_labels(image))
         else:
-            out = predictor.predict_multiscale(
+            out = np.asarray(predictor.predict_multiscale(
                 image, tile, scales, dataset.num_classes, args.flip,
-                args.align_corner, args.whole)
+                args.align_corner, args.whole))
         out = out[:, :hw[0], :hw[1]]
-        if out.shape[1:3] != tuple(orig_hw):
-            out = np.asarray(resize_bilinear(jnp.asarray(out), orig_hw))
-        pred = np.argmax(out, axis=-1).astype(np.uint8)
+        if out.ndim == 3:  # device paths emit uint8 label maps
+            pred = out.astype(np.uint8)
+            if pred.shape[1:] != tuple(orig_hw):
+                pred = np.stack([
+                    cv2.resize(p_, (orig_hw[1], orig_hw[0]),
+                               interpolation=cv2.INTER_NEAREST)
+                    for p_ in pred])
+        else:
+            if out.shape[1:3] != tuple(orig_hw):
+                out = np.asarray(resize_bilinear(jnp.asarray(out), orig_hw))
+            pred = np.argmax(out, axis=-1).astype(np.uint8)
         for i in range(pred.shape[0]):
             name = metas[i].get("name", f"{idx}_{i}")
             raw = dataset.id2trainId(pred[i], reverse=True).astype(np.uint8)

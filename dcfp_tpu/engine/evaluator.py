@@ -274,23 +274,44 @@ class Predictor:
                            scales: Sequence[float], num_classes: int,
                            flip: bool, align_corner: bool,
                            whole: bool) -> np.ndarray:
+        """Scale/flip-averaged probabilities (or, for the whole-image
+        path, uint8 label maps — see below).
+
+        Whole-image mode stays entirely on device: the image uploads
+        once, per-scale resizes / flips / prob accumulation / the final
+        argmax all run device-side, and only (N, H, W) uint8 labels come
+        back — the host round trip of full-resolution f32 probs per
+        scale (160 MB each at 1024x2048x19) is what made ms+flip eval
+        device-transfer-bound.  Sliding mode keeps the host path (the
+        overlap-add needs host scatter).
+        """
         n, h, w, _ = image.shape
+        if whole:
+            # plain transfer (no bucket padding: per-scale shapes derive
+            # from the true (h, w) and compile per scale regardless)
+            dev = image if isinstance(image, jax.Array) \
+                else jnp.asarray(np.asarray(image))
+            acc = jnp.zeros((n, h, w, num_classes), jnp.float32)
+            for scale in scales:
+                hs, ws = int(h * float(scale)), int(w * float(scale))
+                scaled = resize_bilinear(dev, (hs, ws),
+                                         align_corners=align_corner)
+                probs = self.predict_whole(scaled)
+                if flip:
+                    fp = self.predict_whole(scaled[:, :, ::-1])
+                    probs = 0.5 * (probs + fp[:, :, ::-1])
+                acc = acc + resize_bilinear(probs, (h, w),
+                                            align_corners=align_corner)
+            return jnp.argmax(acc, -1).astype(jnp.uint8)
         full = np.zeros((n, h, w, num_classes), np.float32)
         for scale in scales:
             hs, ws = int(h * float(scale)), int(w * float(scale))
             scaled = np.asarray(resize_bilinear(
                 jnp.asarray(image), (hs, ws), align_corners=align_corner))
-            if whole:
-                probs = np.asarray(self.predict_whole(scaled))
-            else:
-                probs = self.predict_sliding(scaled, tile_size, num_classes)
+            probs = self.predict_sliding(scaled, tile_size, num_classes)
             if flip:
-                flipped = scaled[:, :, ::-1]
-                if whole:
-                    fp = np.asarray(self.predict_whole(flipped))
-                else:
-                    fp = self.predict_sliding(flipped, tile_size,
-                                              num_classes)
+                fp = self.predict_sliding(scaled[:, :, ::-1], tile_size,
+                                          num_classes)
                 probs = 0.5 * (probs + fp[:, :, ::-1])
             probs = np.asarray(resize_bilinear(
                 jnp.asarray(probs), (h, w), align_corners=align_corner))
@@ -352,10 +373,15 @@ def evaluate(predictor: Predictor, loader: Iterable, *, num_classes: int,
             elapsed = time.perf_counter() - t0
             out = np.asarray(out)[:, :size_scale[0], :size_scale[1]]
         else:
+            if whole:  # stage H2D outside the timed region (protocol)
+                image = jnp.asarray(image)
+                np.asarray(image.ravel()[0])
             t0 = time.perf_counter()
             out = predictor.predict_multiscale(
                 image, tile_size, scales, num_classes, flip, align_corner,
                 whole)
+            if isinstance(out, jax.Array):  # close the bracket on device
+                np.asarray(out.ravel()[0])
             elapsed = time.perf_counter() - t0
 
         if out.ndim == 3:  # executable already emitted argmax label maps

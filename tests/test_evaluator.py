@@ -84,14 +84,19 @@ def test_multiscale_single_scale_equals_whole(rng):
     g = pointwise_model()
     p = make_predictor(g)
     img = rng.standard_normal((1, 40, 40, 3), dtype=np.float32)
-    whole = np.asarray(p.predict_whole(img))
-    ms = p.predict_multiscale(img, (32, 32), [1.0], 6, flip=False,
-                              align_corner=False, whole=True)
-    np.testing.assert_allclose(ms, whole, rtol=1e-4, atol=1e-5)
+    # whole-image ms runs fully on device and returns uint8 label maps
+    whole_labels = np.argmax(np.asarray(p.predict_whole(img)), -1)
+    ms = np.asarray(p.predict_multiscale(img, (32, 32), [1.0], 6,
+                                         flip=False, align_corner=False,
+                                         whole=True))
+    assert ms.ndim == 3 and ms.dtype == np.uint8
+    np.testing.assert_array_equal(ms, whole_labels)
     # pointwise model is flip-equivariant -> flip averaging is a no-op
-    ms_flip = p.predict_multiscale(img, (32, 32), [1.0], 6, flip=True,
-                                   align_corner=False, whole=True)
-    np.testing.assert_allclose(ms_flip, whole, rtol=1e-4, atol=1e-5)
+    ms_flip = np.asarray(p.predict_multiscale(img, (32, 32), [1.0], 6,
+                                              flip=True,
+                                              align_corner=False,
+                                              whole=True))
+    np.testing.assert_array_equal(ms_flip, whole_labels)
 
 
 def test_mask_to_boundary():
