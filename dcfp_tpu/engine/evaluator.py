@@ -237,11 +237,8 @@ class Predictor:
         return out
 
     # -- sliding window (evaluate.py:145-184), batched tiles ----------------
-    def predict_sliding(self, image: np.ndarray, tile_size: Tuple[int, int],
-                        num_classes: int, overlap: float = 1 / 3
-                        ) -> np.ndarray:
-        n, h, w, _ = image.shape
-        th, tw = tile_size
+    @staticmethod
+    def _tile_boxes(h, w, th, tw, overlap):
         stride = int(math.ceil(th * (1 - overlap)))
         rows = int(math.ceil(max(h - th, 0) / stride) + 1)
         cols = int(math.ceil(max(w - tw, 0) / stride) + 1)
@@ -250,21 +247,66 @@ class Predictor:
             for c in range(cols):
                 x2 = min(c * stride + tw, w)
                 y2 = min(r * stride + th, h)
-                x1 = max(x2 - tw, 0)
-                y1 = max(y2 - th, 0)
-                boxes.append((y1, x1, y2, x2))
-        tiles = np.zeros((len(boxes), n, th, tw, image.shape[-1]),
-                         image.dtype)
-        for i, (y1, x1, y2, x2) in enumerate(boxes):
-            tiles[i, :, :y2 - y1, :x2 - x1] = image[:, y1:y2, x1:x2]
-        # one batched forward over all tiles
+                boxes.append((max(y2 - th, 0), max(x2 - tw, 0), y2, x2))
+        return boxes
+
+    def predict_sliding(self, image, tile_size: Tuple[int, int],
+                        num_classes: int, overlap: float = 1 / 3
+                        ) -> jnp.ndarray:
+        """Overlap-averaged logits over tiles, (N, H, W, C) f32 on
+        DEVICE.  Tile extraction, the single batched forward, and the
+        overlap scatter-add all run inside one jitted program — the
+        earlier host round trip of per-tile logits (360 MB at 1024x2048
+        with 769² tiles) made sliding eval device-transfer-bound.  Boxes
+        are static for a given (image, tile) shape; programs cache per
+        shape like the plain forward."""
+        n, h, w, _ = image.shape
+        th, tw = tile_size
+        boxes = tuple(self._tile_boxes(h, w, th, tw, overlap))
+        if self.mesh is not None:  # mesh path: batched host variant
+            return self._predict_sliding_host(image, tile_size,
+                                              num_classes, boxes)
+        key = (n, h, w, th, tw, num_classes, boxes)
+        fn = getattr(self, "_sliding_cache", {}).get(key)
+        if fn is None:
+            graph, dtype = self.graph, self.dtype
+
+            def sliding(params, state, image):
+                tiles = jnp.concatenate(
+                    [image[:, y1:y2, x1:x2] for y1, x1, y2, x2 in boxes])
+                outs, _ = graph_apply(graph, params, state,
+                                      {"image": tiles.astype(dtype)},
+                                      train=False)
+                logits = outs["pred"].astype(jnp.float32)
+                full = jnp.zeros((n, h, w, num_classes), jnp.float32)
+                count = jnp.zeros((1, h, w, 1), jnp.float32)
+                for i, (y1, x1, y2, x2) in enumerate(boxes):
+                    full = full.at[:, y1:y2, x1:x2].add(
+                        logits[i * n:(i + 1) * n])
+                    count = count.at[:, y1:y2, x1:x2].add(1.0)
+                return full / count
+
+            fn = jax.jit(sliding)
+            if not hasattr(self, "_sliding_cache"):
+                self._sliding_cache = {}
+            self._sliding_cache[key] = fn
+        if not isinstance(image, jax.Array):
+            image = jnp.asarray(np.asarray(image))
+        return fn(self.params, self.state, image)
+
+    def _predict_sliding_host(self, image, tile_size, num_classes, boxes):
+        n, h, w, _ = image.shape
+        th, tw = tile_size
+        image = np.asarray(image)
+        tiles = np.stack([image[:, y1:y2, x1:x2]
+                          for y1, x1, y2, x2 in boxes])
         logits = self(jnp.asarray(tiles.reshape(-1, th, tw,
                                                 image.shape[-1])))
         logits = np.asarray(logits).reshape(len(boxes), n, th, tw, -1)
         full = np.zeros((n, h, w, num_classes), np.float32)
         count = np.zeros((1, h, w, 1), np.float32)
         for i, (y1, x1, y2, x2) in enumerate(boxes):
-            full[:, y1:y2, x1:x2] += logits[i, :, :y2 - y1, :x2 - x1]
+            full[:, y1:y2, x1:x2] += logits[i]
             count[0, y1:y2, x1:x2] += 1.0
         return full / count
 
@@ -274,49 +316,40 @@ class Predictor:
                            scales: Sequence[float], num_classes: int,
                            flip: bool, align_corner: bool,
                            whole: bool) -> np.ndarray:
-        """Scale/flip-averaged probabilities (or, for the whole-image
-        path, uint8 label maps — see below).
-
-        Whole-image mode stays entirely on device: the image uploads
-        once, per-scale resizes / flips / prob accumulation / the final
-        argmax all run device-side, and only (N, H, W) uint8 labels come
-        back — the host round trip of full-resolution f32 probs per
-        scale (160 MB each at 1024x2048x19) is what made ms+flip eval
-        device-transfer-bound.  Sliding mode keeps the host path (the
-        overlap-add needs host scatter).
+        """Scale/flip-averaged prediction as (N, H, W) uint8 label maps,
+        computed entirely on device: the image uploads once, per-scale
+        resizes / tile scatter / flips / prob accumulation / the final
+        argmax all run device-side — the host round trip of
+        full-resolution f32 probs per scale (160 MB each at
+        1024x2048x19) is what made ms/sliding eval transfer-bound.
         """
         n, h, w, _ = image.shape
-        if whole:
-            # plain transfer (no bucket padding: per-scale shapes derive
-            # from the true (h, w) and compile per scale regardless)
-            dev = image if isinstance(image, jax.Array) \
-                else jnp.asarray(np.asarray(image))
-            acc = jnp.zeros((n, h, w, num_classes), jnp.float32)
-            for scale in scales:
-                hs, ws = int(h * float(scale)), int(w * float(scale))
-                scaled = resize_bilinear(dev, (hs, ws),
-                                         align_corners=align_corner)
+        # plain transfer (no bucket padding: per-scale shapes derive
+        # from the true (h, w) and compile per scale regardless)
+        dev = image if isinstance(image, jax.Array) \
+            else jnp.asarray(np.asarray(image))
+        acc = jnp.zeros((n, h, w, num_classes), jnp.float32)
+        for scale in scales:
+            hs, ws = int(h * float(scale)), int(w * float(scale))
+            scaled = resize_bilinear(dev, (hs, ws),
+                                     align_corners=align_corner)
+            if whole:
                 probs = self.predict_whole(scaled)
                 if flip:
                     fp = self.predict_whole(scaled[:, :, ::-1])
                     probs = 0.5 * (probs + fp[:, :, ::-1])
-                acc = acc + resize_bilinear(probs, (h, w),
-                                            align_corners=align_corner)
-            return jnp.argmax(acc, -1).astype(jnp.uint8)
-        full = np.zeros((n, h, w, num_classes), np.float32)
-        for scale in scales:
-            hs, ws = int(h * float(scale)), int(w * float(scale))
-            scaled = np.asarray(resize_bilinear(
-                jnp.asarray(image), (hs, ws), align_corners=align_corner))
-            probs = self.predict_sliding(scaled, tile_size, num_classes)
-            if flip:
-                fp = self.predict_sliding(scaled[:, :, ::-1], tile_size,
-                                          num_classes)
-                probs = 0.5 * (probs + fp[:, :, ::-1])
-            probs = np.asarray(resize_bilinear(
-                jnp.asarray(probs), (h, w), align_corners=align_corner))
-            full += probs
-        return full / len(scales)
+            else:
+                probs = self.predict_sliding(scaled, tile_size,
+                                             num_classes)
+                if flip:
+                    fp = self.predict_sliding(
+                        jnp.asarray(scaled)[:, :, ::-1], tile_size,
+                        num_classes)
+                    probs = 0.5 * (jnp.asarray(probs)
+                                   + jnp.asarray(fp)[:, :, ::-1])
+            acc = acc + resize_bilinear(jnp.asarray(probs), (h, w),
+                                        align_corners=align_corner)
+        return jnp.argmax(acc, -1).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -373,9 +406,9 @@ def evaluate(predictor: Predictor, loader: Iterable, *, num_classes: int,
             elapsed = time.perf_counter() - t0
             out = np.asarray(out)[:, :size_scale[0], :size_scale[1]]
         else:
-            if whole:  # stage H2D outside the timed region (protocol)
-                image = jnp.asarray(image)
-                np.asarray(image.ravel()[0])
+            # stage H2D outside the timed region (protocol)
+            image = jnp.asarray(image)
+            np.asarray(image.ravel()[0])
             t0 = time.perf_counter()
             out = predictor.predict_multiscale(
                 image, tile_size, scales, num_classes, flip, align_corner,
