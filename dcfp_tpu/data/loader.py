@@ -91,18 +91,45 @@ class TrainLoader:
 
 
 class EvalLoader:
-    """Sequential batch iterator over a val/test split (batch 1 by default
-    — evaluation shapes vary per image)."""
+    """Batch iterator over a val/test split (batch 1 by default —
+    evaluation shapes vary per image), with a prefetch thread so host
+    image decode overlaps device inference (a 1024x2048 PNG decodes in
+    ~100 ms — comparable to the whole-image forward itself)."""
 
-    def __init__(self, dataset, batch_size: int = 1):
+    def __init__(self, dataset, batch_size: int = 1, prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
+        self.prefetch = prefetch
 
-    def __iter__(self):
+    def _gen(self):
         n = len(self.dataset)
         for start in range(0, n, self.batch_size):
             idxs = range(start, min(start + self.batch_size, n))
             yield collate([self.dataset[int(i)] for i in idxs])
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._gen()
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        done = object()
+
+        def worker():
+            try:
+                for batch in self._gen():
+                    q.put(batch)
+                q.put(done)
+            except Exception as e:  # surface decode errors to the consumer
+                q.put(e)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
 
     def __len__(self):
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
