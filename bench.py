@@ -23,6 +23,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: repeat bench runs skip the two AOT compiles
+_cache = os.environ.get("DCFP_COMPILE_CACHE",
+                        os.path.expanduser("~/.cache/dcfp_tpu_xla"))
+if _cache and _cache != "0":
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
 
 def main():
     from dcfp_tpu.engine.deploy import aot_compile, benchmark, \
