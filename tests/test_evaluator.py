@@ -265,3 +265,21 @@ def test_distance_transform_edges_match_reference(rng, radius_min):
     want_bin = ref.onehot_to_binary_edges(onehot, 2, 5, radius_min)
     got_bin = onehot_to_binary_edges(onehot, 2, 5, radius_min)
     np.testing.assert_array_equal(got_bin, want_bin)
+
+
+def test_label_path_agrees_with_logits_argmax(rng):
+    """The deploy-backed label path (BN folded, fused tail) must agree
+    with argmax over the raw-graph logits everywhere except exact
+    numerical ties (fold reassociates the BN affine)."""
+    b = GraphBuilder("bnres")
+    x = b.input("image")
+    x = b.conv_bn_relu(x, "s", out_ch=8, kernel=3, stride=2)
+    z = b.conv(x, "cls", out_ch=6, kernel=1, padding=0, bias=True)
+    b.resize(z, "pred", to_input=True, align_corners=False)
+    g = b.finish(["pred"])
+    p = make_predictor(g)
+    img = rng.standard_normal((1, 48, 56, 3), dtype=np.float32)
+    labels = np.asarray(p.predict_whole_labels(img))
+    ref = np.argmax(np.asarray(p.predict_whole(img)), -1)
+    assert labels.shape == ref.shape and labels.dtype == np.uint8
+    assert (labels == ref).mean() > 0.995
