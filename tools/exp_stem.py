@@ -1,6 +1,8 @@
 """Standalone probes for the deploy stem's first conv (3->64, k3 s2 at
-1025x2049), measured at 3.96 ms of a 23.7 ms pruned deploy forward —
-~0.45 TFLOP/s, i.e. the 3-input-channel conv never reaches the MXU.
+1025x2049).  STANDALONE, XLA runs it at 3.96 ms (~0.45 TFLOP/s — the
+3-input-channel conv never reaches the MXU); IN the full deploy graph
+its true cost is only ~0.8 ms (tools/exp_suffix.py) — keep that in mind
+when reading these numbers.
 
 Variants:
   native   lax.conv_general_dilated as graph_apply emits today
