@@ -72,17 +72,25 @@ def main():
     nchw = (shape[0], shape[3], shape[1], shape[2])
     image = jnp.asarray(rng.uniform(-1, 1, nchw).astype(np.float32))
 
-    def deploy_ips(graph, p, s):
+    def deploy_ips(graph, p, s, batch=1):
+        b_nchw = (batch,) + nchw[1:]
+        b_image = (image if batch == 1 else
+                   jnp.asarray(np.repeat(np.asarray(image), batch, 0)))
         fn, dev_params = make_inference_fn(graph, p, s, dtype=jnp.bfloat16,
                                            fold_bn=True, output="argmax",
                                            input_format="nchw")
-        compiled = aot_compile(fn, dev_params, nchw)
+        compiled = aot_compile(fn, dev_params, b_nchw)
         stats = benchmark(lambda img: compiled(dev_params, img),
-                          image, warmup=warmup, iters=iters)
+                          b_image, warmup=warmup, iters=iters)
         return stats["images_per_sec"]
 
     base_ips = deploy_ips(model.graph, params, state)
     pruned_ips = deploy_ips(result.graph, result.params, result.state)
+    # batch-1 stays the headline (protocol parity with totrt.py:113);
+    # batch 4 measures whether img/s/chip — the north-star unit — gains
+    # from batching (VERDICT r2 item 4)
+    pruned_ips_b4 = deploy_ips(result.graph, result.params, result.state,
+                               batch=4)
 
     print(json.dumps({
         "metric": "deeplabv3_r101_50pct_flops_1025x2049_bf16_img_per_s",
@@ -92,6 +100,7 @@ def main():
         "detail": {
             "backend": jax.default_backend(),
             "unpruned_img_per_s": round(base_ips, 3),
+            "pruned_img_per_s_batch4": round(pruned_ips_b4, 3),
             "global_percent": gp,
             "flops_ratio": round(report["flops_ratio"], 4),
             "small_mode": small,

@@ -109,6 +109,32 @@ def add_runtime_args(p: argparse.ArgumentParser):
                         "reduction crosses DCN")
     p.add_argument("--compute-dtype", type=str, default="float32",
                    help="float32|bfloat16 activations")
+    add_distributed_args(p)
+
+
+def add_distributed_args(p: argparse.ArgumentParser):
+    """Multi-process (multi-host) runtime flags — the reference's
+    torch.distributed.launch env rendezvous (engine.py:38-46) becomes
+    jax.distributed.initialize; on TPU pods everything is discovered
+    from the environment and only --distributed is needed."""
+    p.add_argument("--distributed", type=str2bool, default=False,
+                   help="call jax.distributed.initialize (multi-host "
+                        "jobs; auto-discovery on TPU pods)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="coordinator address host:port (manual CPU/GPU "
+                        "bring-up only)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+
+
+def maybe_initialize_distributed(args) -> None:
+    """Bring up the multi-host runtime before any other jax call
+    (no-op unless --distributed)."""
+    if getattr(args, "distributed", False):
+        from dcfp_tpu.parallel.distributed import initialize
+        initialize(coordinator_address=args.coordinator,
+                   num_processes=args.num_processes,
+                   process_id=args.process_id)
 
 
 # ---------------------------------------------------------------------------

@@ -88,6 +88,9 @@ def main(argv=None) -> int:
                           os.path.join(args.save_dir, "model.stablehlo"))
         ckpt.save_pytree(os.path.join(args.save_dir,
                                       "deploy_params.msgpack"), dev_params)
+        with open(os.path.join(args.save_dir, "meta.json"), "w") as f:
+            json.dump({"input": list(shape), "dtype": args.dtype,
+                       "output": args.output}, f)
 
     image = jnp.asarray(np.random.default_rng(0).uniform(
         -1, 1, shape).astype(np.float32))

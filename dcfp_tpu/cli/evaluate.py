@@ -20,9 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dcfp_tpu.cli.common import (add_data_args, add_model_args,
-                                 build_dataset_from_args,
+from dcfp_tpu.cli.common import (add_data_args, add_distributed_args,
+                                 add_model_args, build_dataset_from_args,
                                  build_model_from_args, json_para,
+                                 maybe_initialize_distributed,
                                  maybe_load_channel_cfg, parse_hw, str2bool)
 from dcfp_tpu.utils.logger import get_logger
 
@@ -50,8 +51,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default="float32",
                    help="float32|bfloat16 inference")
     p.add_argument("--use-aot", type=str2bool, default=False,
-                   help="serve a serialized AOT executable "
-                        "(deploy.py export; the --use-trt analog)")
+                   help="serve a serialized AOT executable (deploy.py "
+                        "export; the --use-trt analog).  Modes: whole-"
+                        "image ss (argmax export) or sliding-window ss "
+                        "(tile-shaped --output logits export); ms/flip "
+                        "need the regular jit path — like the "
+                        "reference's fixed-shape TRT engine")
     p.add_argument("--aot-path", type=str, default=None)
     p.add_argument("--bucket-quantum", type=int, default=0,
                    help="pad inputs up to multiples of this so variable-"
@@ -64,11 +69,13 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-devices", type=int, default=0,
                    help="devices for --eval-shard (0 = all)")
     p.add_argument("--spatial-shards", type=int, default=1)
+    add_distributed_args(p)
     return p
 
 
 def main(argv=None) -> int:
     args = get_parser().parse_args(argv)
+    maybe_initialize_distributed(args)  # before any other jax call
     from dcfp_tpu.data.loader import EvalLoader
     from dcfp_tpu.engine.evaluator import Predictor, evaluate
     from dcfp_tpu.graph.apply import init_graph
@@ -76,7 +83,12 @@ def main(argv=None) -> int:
     from dcfp_tpu.utils import checkpoint as ckpt
 
     dataset = build_dataset_from_args(args, args.data_dir)
-    loader = EvalLoader(dataset, batch_size=args.batch_size)
+    # each process evaluates its stride of the split; confusion matrices
+    # sum across processes at the end (reference DistributedSampler +
+    # dist.all_reduce, evaluate.py:370-372)
+    loader = EvalLoader(dataset, batch_size=args.batch_size,
+                        rank=jax.process_index(),
+                        world=jax.process_count())
 
     model = build_model_from_args(args, dataset.num_classes, deepsup=False)
     graph = model.graph
@@ -90,9 +102,19 @@ def main(argv=None) -> int:
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
              "bf16": jnp.bfloat16}[args.dtype]
     scales_chk = [float(s) for s in args.ms.split(",") if s]
-    if args.use_aot and (not args.whole or scales_chk != [1.0] or args.flip):
-        raise SystemExit("--use-aot serves a fixed-shape executable: "
-                         "requires --whole true --ms 1 --flip false")
+    aot_whole = args.whole and scales_chk == [1.0] and not args.flip
+    aot_sliding = (not args.whole and scales_chk == [1.0]
+                   and not args.flip)
+    if args.use_aot and not (aot_whole or aot_sliding):
+        # same contract as the reference's fixed-shape TRT engine
+        # (totrt.py:113-121 builds for ONE input shape): serving
+        # multi-scale/flip through a fixed-shape executable is not
+        # meaningful — use the regular jit path for those modes
+        raise SystemExit("--use-aot serves fixed-shape executables: "
+                         "whole-image (--whole true --ms 1 --flip false, "
+                         "argmax export) or sliding tiles (--whole false "
+                         "--ms 1 --flip false, deploy --output logits "
+                         "--input-size <tile>)")
     if args.use_aot:
         if not args.aot_path:
             raise SystemExit("--use-aot requires --aot-path "
@@ -101,22 +123,37 @@ def main(argv=None) -> int:
             raise SystemExit(f"--aot-path not found: {args.aot_path}")
         # the artifact was exported with BN-folded deploy params saved
         # next to it by the deploy CLI
-        params_path = os.path.join(
-            os.path.dirname(os.path.abspath(args.aot_path)),
-            "deploy_params.msgpack")
+        aot_dir = os.path.dirname(os.path.abspath(args.aot_path))
+        params_path = os.path.join(aot_dir, "deploy_params.msgpack")
         if not os.path.isfile(params_path):
             raise SystemExit(
                 f"missing {params_path} (written by cli.deploy next to "
                 "the serialized executable)")
+        meta_path = os.path.join(aot_dir, "meta.json")
+        if os.path.isfile(meta_path):
+            import json
+            with open(meta_path) as f:
+                meta = json.load(f)
+            want_out = "logits" if aot_sliding else "argmax"
+            if meta.get("output") != want_out:
+                raise SystemExit(
+                    f"this eval mode needs a deploy --output {want_out} "
+                    f"export; {args.aot_path} was exported with "
+                    f"--output {meta.get('output')}")
+            if aot_sliding and (tuple(meta["input"][1:3])
+                                != parse_hw(args.input_size)):
+                raise SystemExit(
+                    f"tile executable shape {meta['input'][1:3]} != "
+                    f"--input-size {args.input_size}")
         from dcfp_tpu.engine.deploy import load_serialized
         run = load_serialized(args.aot_path)
         aot_params = ckpt.load_pytree(params_path)
         aot_params = jax.tree.map(jnp.asarray, aot_params)
         predictor = Predictor(graph, params, bn_state, dtype=dtype)
-        # the serialized deploy executable already emits argmax labels;
-        # route both predictor entry points through it
-        predictor._fwd = lambda p, s, image: run(aot_params, image)
-        predictor._fwd_argmax = predictor._fwd
+        if aot_sliding:
+            predictor.use_aot_tiles(run, aot_params)
+        else:
+            predictor.use_aot_whole(run, aot_params)
     else:
         mesh = None
         if args.eval_shard != "none":

@@ -44,7 +44,6 @@ def get_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = get_parser().parse_args(argv)
-    import cv2
     from PIL import Image as PILImage
 
     from dcfp_tpu.data.loader import EvalLoader
@@ -96,20 +95,20 @@ def main(argv=None) -> int:
             if (ph, pw) != hw:
                 image = np.pad(image, ((0, 0), (0, ph - hw[0]),
                                        (0, pw - hw[1]), (0, 0)))
-        if args.whole and tuple(scales) == (1.0,) and not args.flip:
+        # resized runs go through the logits path so the resize back to
+        # the original resolution happens on logits before the argmax
+        # (reference evaluate.py:340-343 / evaluate_test.py protocol)
+        need_resize = tuple(hw) != tuple(orig_hw)
+        if (args.whole and tuple(scales) == (1.0,) and not args.flip
+                and not need_resize):
             out = np.asarray(predictor.predict_whole_labels(image))
         else:
             out = np.asarray(predictor.predict_multiscale(
                 image, tile, scales, dataset.num_classes, args.flip,
-                args.align_corner, args.whole))
+                args.align_corner, args.whole, return_probs=need_resize))
         out = out[:, :hw[0], :hw[1]]
         if out.ndim == 3:  # device paths emit uint8 label maps
             pred = out.astype(np.uint8)
-            if pred.shape[1:] != tuple(orig_hw):
-                pred = np.stack([
-                    cv2.resize(p_, (orig_hw[1], orig_hw[0]),
-                               interpolation=cv2.INTER_NEAREST)
-                    for p_ in pred])
         else:
             if out.shape[1:3] != tuple(orig_hw):
                 out = np.asarray(resize_bilinear(jnp.asarray(out), orig_hw))

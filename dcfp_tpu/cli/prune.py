@@ -57,6 +57,11 @@ def get_parser() -> argparse.ArgumentParser:
                         "(TPU MXU lane width; 1 = reference behavior). "
                         "Measured +21%% deploy throughput at equal FLOPs")
     p.add_argument("--flops-input-size", type=str, default="512,512")
+    p.add_argument("--export-torch", type=str2bool, default=False,
+                   help="also write pruned.pth + channel_cfg.pth in the "
+                        "reference's torch formats, consumable by its "
+                        "init_pruned_model/load_model "
+                        "(channel_pruner.py:29-74)")
     p.add_argument("--verify-forward", type=str2bool, default=True,
                    help="round-trip equivalence check after surgery")
     return p
@@ -96,6 +101,12 @@ def main(argv=None) -> int:
     cfg_path = os.path.join(args.save_path, "channel_cfg.msgpack")
     ckpt.save_pruned(pruned_path, result.params, result.state)
     ckpt.save_channel_cfg(cfg_path, result.channel_cfg)
+    if args.export_torch:
+        ckpt.save_pruned(os.path.join(args.save_path, "pruned.pth"),
+                         result.params, result.state)
+        ckpt.save_channel_cfg(
+            os.path.join(args.save_path, "channel_cfg.pth"),
+            result.channel_cfg)
     log.info("global_percent=%.2f flops_ratio=%.3f -> %s, %s", gp,
              report["flops_ratio"], pruned_path, cfg_path)
 

@@ -35,6 +35,7 @@ from dcfp_tpu.cli.common import (add_data_args, add_model_args,
                                  add_train_data_args,
                                  build_dataset_from_args,
                                  build_model_from_args, compute_dtype,
+                                 maybe_initialize_distributed,
                                  maybe_load_channel_cfg,
                                  setup_dirs_and_logging, str2bool)
 from dcfp_tpu.utils.logger import get_logger
@@ -91,8 +92,8 @@ def _resolve_pretrained(args, graph, params, bn_state):
             log.warning("pretrained checkpoint %s not found; random init",
                         path)
         return params, bn_state
-    import torch
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    from dcfp_tpu.utils.checkpoint import _torch_load
+    sd = _torch_load(path)
     params, bn_state = merge_pretrained_backbone(graph, sd, params,
                                                  bn_state)
     log.info("merged pretrained backbone from %s", path)
@@ -129,6 +130,7 @@ def main(argv=None) -> int:
         parser.error("--balance 2 (effective-number weights) needs the "
                      "sampled class id, which only --resample true "
                      "provides (reference datasets/Base.py:82)")
+    maybe_initialize_distributed(args)  # before any other jax call
     setup_dirs_and_logging(args)
     np.random.seed(args.random_seed)
 
@@ -137,14 +139,23 @@ def main(argv=None) -> int:
     from dcfp_tpu.engine.trainer import TrainLoop, create_train_state
     from dcfp_tpu.graph.apply import init_graph
     from dcfp_tpu.losses.criteria import build_criterions
-    from dcfp_tpu.parallel.mesh import create_mesh, replicated
+    from dcfp_tpu.parallel.mesh import create_mesh, replicate_tree
     from dcfp_tpu.prune.pruner import apply_channel_cfg
     from dcfp_tpu.utils import checkpoint as ckpt
 
     dataset = build_dataset_from_args(args, "train", resample=args.resample,
                                       compact=args.compact_batches)
-    loader = TrainLoader(dataset, args.batch_size, seed=args.random_seed,
-                         prefetch=args.num_workers)
+    # --batch-size is GLOBAL (reference engine.py:81: batch //= world);
+    # each process loads its rank's shard of the epoch permutation and
+    # decodes with --num-workers processes
+    n_proc, rank = jax.process_count(), jax.process_index()
+    if args.batch_size % n_proc:
+        parser.error(f"--batch-size {args.batch_size} not divisible by "
+                     f"{n_proc} processes")
+    loader = TrainLoader(dataset, args.batch_size // n_proc,
+                         seed=args.random_seed,
+                         num_workers=args.num_workers,
+                         rank=rank, world=n_proc)
 
     criterion = build_criterions(
         args.loss_type, ignore_label=dataset.ignore_label,
@@ -199,12 +210,14 @@ def main(argv=None) -> int:
         n_dev = len(devices)
         mesh = create_mesh(n_data=n_dev // spatial, n_spatial=spatial,
                            devices=devices)
-    state = jax.device_put(state, replicated(mesh))
-    log.info("mesh: %d data x %d spatial on %d %s device(s); global "
-             "batch %d", n_dev // spatial, spatial, n_dev,
-             jax.default_backend(), args.batch_size)
+    state = replicate_tree(mesh, state)
+    log.info("mesh: %d data x %d spatial on %d %s device(s) across %d "
+             "process(es); global batch %d", n_dev // spatial, spatial,
+             n_dev, jax.default_backend(), n_proc, args.batch_size)
 
     def snapshot_hook(st, step):
+        if jax.process_index() != 0:  # rank-0 snapshots (train.py:278)
+            return
         path = os.path.join(args.snapshot_dir,
                             f"{args.dataset}_scenes_{step}.msgpack")
         ckpt.save_train_state(path, st)
@@ -227,7 +240,8 @@ def main(argv=None) -> int:
     finally:
         loader.stop()
 
-    if args.prune_type == "dcfp" and state.eic is not None:
+    if (args.prune_type == "dcfp" and state.eic is not None
+            and jax.process_index() == 0):
         score_path = os.path.join(args.snapshot_dir, "score.msgpack")
         ckpt.save_eic(score_path, jax.tree.map(np.asarray, state.eic))
         log.info("exported EIC scores to %s", score_path)

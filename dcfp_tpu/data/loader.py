@@ -1,15 +1,26 @@
-"""Batching + prefetch.
+"""Batching + prefetch + multi-process decode.
 
 Replaces the reference's DataLoader/DistributedSampler machinery
-(engine.py:73-115): one loader feeds the whole SPMD program with the
-*global* batch (sharding happens at device_put), so there is no
-per-rank batch division or sampler epoch plumbing.  A background thread
-pipelines host-side decode/augment with device compute — the standard
-TPU input-pipeline shape.
+(engine.py:73-115):
+
+* one loader per *process* feeds that process's shard of the global
+  batch (``rank``/``world`` stride-split the epoch permutation exactly
+  like torch's DistributedSampler; single-process jobs keep the whole
+  batch and shard at device_put);
+* host-side decode/augment runs in ``num_workers`` OS processes feeding
+  a reorder buffer (the reference's ``workers=4`` DataLoader,
+  engine.py:81-93) — workers never touch JAX, so they are safe next to a
+  live TPU client; ``num_workers<=1`` degrades to one prefetch thread;
+* batches are deterministic in (seed, epoch, batch_index, rank) — the
+  SAME batches come out for any ``num_workers``, and a restarted job
+  regenerates the identical stream (the reference's per-worker torch
+  seeds cannot do either).
 """
 
 from __future__ import annotations
 
+import itertools
+import multiprocessing as mp
 import queue
 import threading
 from typing import Any, Dict, Iterator, List, Optional
@@ -35,77 +46,187 @@ def collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
     return out
 
 
-class TrainLoader:
-    """Infinite shuffled batch iterator with epoch-hook + prefetch.
+def _make_batch(dataset, seed: int, epoch: int, b: int, rank: int,
+                idxs) -> Dict[str, Any]:
+    """Deterministic batch: augmentation randomness is reseeded from
+    (seed, epoch, batch, rank), so any worker — or a restarted job —
+    produces the identical batch."""
+    dataset.rng = np.random.default_rng((seed, epoch, b, rank))
+    return collate([dataset[int(i)] for i in idxs])
 
-    Calls ``dataset.pre_processing(epoch)`` at each epoch boundary
-    (reference train.py:237) so resample indexes regenerate.
+
+def _epoch_order(dataset, seed: int, epoch: int, rank: int, world: int
+                 ) -> np.ndarray:
+    """Shared epoch permutation, stride-split across processes
+    (DistributedSampler semantics: same permutation everywhere, rank r
+    takes every world-th element)."""
+    order = np.random.default_rng((seed, epoch)).permutation(len(dataset))
+    return order[rank::world] if world > 1 else order
+
+
+def _decode_worker(dataset, seed: int, rank: int, idx_q, res_q):
+    """Worker process main: resolve (epoch, batch, idxs) tickets.
+    Calls dataset.pre_processing on epoch change so the (seeded,
+    process-consistent) resample index regenerates (train.py:237)."""
+    current_epoch = -1
+    while True:
+        item = idx_q.get()
+        if item is None:
+            return
+        epoch, b, serial, idxs = item
+        try:
+            if epoch != current_epoch:
+                dataset.pre_processing(epoch)
+                current_epoch = epoch
+            res_q.put((serial, _make_batch(dataset, seed, epoch, b, rank,
+                                           idxs)))
+        except Exception as e:  # surface to the consumer
+            res_q.put((serial, e))
+
+
+class TrainLoader:
+    """Infinite shuffled batch iterator with epoch hook, prefetch, and
+    optional multi-process decode.
+
+    ``batch_size`` is the PER-PROCESS batch (global // world).  Calls
+    ``dataset.pre_processing(epoch)`` at each epoch boundary (reference
+    train.py:237) so resample indexes regenerate — the index is
+    PRNG-seeded, so all ranks and workers derive the same one with no
+    broadcast (reference Base.py:51-57 needed dist.broadcast).
     """
 
     def __init__(self, dataset, batch_size: int, seed: int = 0,
-                 prefetch: int = 2, drop_last: bool = True):
+                 prefetch: int = 2, drop_last: bool = True,
+                 num_workers: int = 0, rank: int = 0, world: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
-        self.rng = np.random.default_rng(seed)
-        self.prefetch = prefetch
+        self.seed = seed
+        self.prefetch = max(prefetch, 1)
         self.drop_last = drop_last
-        self._queue: Optional[queue.Queue] = None
-        self._thread: Optional[threading.Thread] = None
+        self.num_workers = num_workers
+        self.rank = rank
+        self.world = world
         self._stop = threading.Event()
+        self._procs: List = []
 
-    def _gen(self) -> Iterator[Dict[str, Any]]:
-        epoch = 0
-        while True:
+    # -- ticket stream -------------------------------------------------------
+    def _tickets(self) -> Iterator:
+        """(epoch, batch_index, sample_idxs) forever."""
+        for epoch in itertools.count():
             self.dataset.pre_processing(epoch)
-            order = self.rng.permutation(len(self.dataset))
+            order = _epoch_order(self.dataset, self.seed, epoch,
+                                 self.rank, self.world)
             n_full = len(order) // self.batch_size
             for b in range(n_full):
-                idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                yield collate([self.dataset[int(i)] for i in idxs])
-            epoch += 1
+                yield (epoch, b,
+                       order[b * self.batch_size:(b + 1) * self.batch_size])
 
-    def _worker(self):
+    def _gen(self) -> Iterator[Dict[str, Any]]:
+        for epoch, b, idxs in self._tickets():
+            yield _make_batch(self.dataset, self.seed, epoch, b,
+                              self.rank, idxs)
+
+    # -- single prefetch thread ----------------------------------------------
+    def _thread_iter(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def worker():
+            try:
+                for batch in self._gen():
+                    if self._stop.is_set():
+                        return
+                    q.put(batch)
+            except Exception as e:
+                q.put(e)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+    # -- multi-process decode pool -------------------------------------------
+    def _mp_iter(self):
+        # fork keeps the dataset state CoW-shared and skips re-import;
+        # workers only run numpy/cv2 so a live JAX client in the parent
+        # is not touched
+        ctx = mp.get_context("fork" if "fork" in mp.get_all_start_methods()
+                             else "spawn")
+        idx_q = ctx.Queue()
+        res_q = ctx.Queue(maxsize=self.num_workers + self.prefetch)
+        self._procs = [
+            ctx.Process(target=_decode_worker,
+                        args=(self.dataset, self.seed, self.rank, idx_q,
+                              res_q), daemon=True)
+            for _ in range(self.num_workers)]
+        for p in self._procs:
+            p.start()
+
+        tickets = self._tickets()
+        serial = itertools.count()  # monotone reorder key across epochs
+        inflight = self.num_workers + self.prefetch
+        for _ in range(inflight):
+            e, b, idxs = next(tickets)
+            idx_q.put((e, b, next(serial), idxs))
+        buffer: Dict[int, Any] = {}
+        want = 0
         try:
-            for batch in self._gen():
-                if self._stop.is_set():
-                    return
-                self._queue.put(batch)
-        except Exception as e:  # surface worker errors to the consumer
-            self._queue.put(e)
+            while not self._stop.is_set():
+                while want not in buffer:
+                    s, payload = res_q.get()
+                    buffer[s] = payload
+                payload = buffer.pop(want)
+                want += 1
+                if isinstance(payload, Exception):
+                    raise payload
+                e, b, idxs = next(tickets)
+                idx_q.put((e, b, next(serial), idxs))
+                yield payload
+        finally:
+            self.stop()
 
     def __iter__(self):
+        if self.num_workers > 1:
+            return self._mp_iter()
         if self.prefetch > 0:
-            self._queue = queue.Queue(maxsize=self.prefetch)
-            self._thread = threading.Thread(target=self._worker, daemon=True)
-            self._thread.start()
-            while True:
-                item = self._queue.get()
-                if isinstance(item, Exception):
-                    raise item
-                yield item
-        else:
-            yield from self._gen()
+            return self._thread_iter()
+        return self._gen()
 
     def stop(self):
         self._stop.set()
+        for p in self._procs:
+            p.terminate()
+        self._procs = []
 
 
 class EvalLoader:
     """Batch iterator over a val/test split (batch 1 by default —
     evaluation shapes vary per image), with a prefetch thread so host
     image decode overlaps device inference (a 1024x2048 PNG decodes in
-    ~100 ms — comparable to the whole-image forward itself)."""
+    ~100 ms — comparable to the whole-image forward itself).
 
-    def __init__(self, dataset, batch_size: int = 1, prefetch: int = 2):
+    ``rank``/``world`` stride-split the split across processes for
+    multi-process eval (each process accumulates a partial confusion
+    matrix; ``allreduce_confusion`` sums them — reference
+    evaluate.py:370-372)."""
+
+    def __init__(self, dataset, batch_size: int = 1, prefetch: int = 2,
+                 rank: int = 0, world: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.prefetch = prefetch
+        self.rank = rank
+        self.world = world
+
+    def _indices(self):
+        return range(self.rank, len(self.dataset), self.world)
 
     def _gen(self):
-        n = len(self.dataset)
-        for start in range(0, n, self.batch_size):
-            idxs = range(start, min(start + self.batch_size, n))
-            yield collate([self.dataset[int(i)] for i in idxs])
+        idxs = list(self._indices())
+        for start in range(0, len(idxs), self.batch_size):
+            chunk = idxs[start:start + self.batch_size]
+            yield collate([self.dataset[int(i)] for i in chunk])
 
     def __iter__(self):
         if self.prefetch <= 0:
@@ -132,4 +253,5 @@ class EvalLoader:
             yield item
 
     def __len__(self):
-        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+        n = len(range(self.rank, len(self.dataset), self.world))
+        return (n + self.batch_size - 1) // self.batch_size

@@ -116,6 +116,31 @@ def allreduce_confusion(cm: np.ndarray) -> np.ndarray:
 # predictor
 # ---------------------------------------------------------------------------
 
+class _CountCompiles:
+    """First-party compiled-program counter.
+
+    Wraps a jitted callable and records the distinct (shape, dtype)
+    signatures of its *image* argument (the last positional arg) — for a
+    fixed Predictor the other jit cache keys (param/state trees, sharding,
+    statics) never change, so distinct image signatures == compiles.
+    Replaces the private ``fn._cache_size()`` probe which silently broke
+    across jax versions.
+    """
+
+    def __init__(self, fn):
+        self._fn = fn
+        self._seen = set()
+
+    def __call__(self, *args):
+        img = args[-1]
+        self._seen.add((tuple(img.shape), str(img.dtype)))
+        return self._fn(*args)
+
+    @property
+    def count(self) -> int:
+        return len(self._seen)
+
+
 class Predictor:
     """Shape-cached jitted forward over a (graph, params, state) triple.
 
@@ -161,15 +186,16 @@ class Predictor:
             spec = {"data": P("data", None, None, None),
                     "spatial": P(None, "spatial", None, None),
                     "both": P("data", "spatial", None, None)}[shard]
+            self._img_spec = spec
             self._img_sharding = NamedSharding(mesh, spec)
             self.params = jax.device_put(params, rep)
             self.state = jax.device_put(state, rep)
-            self._fwd = jax.jit(fwd, in_shardings=(rep, rep,
-                                                   self._img_sharding),
-                                out_shardings=rep)
-            self._fwd_argmax = jax.jit(
-                fwd_argmax, in_shardings=(rep, rep, self._img_sharding),
-                out_shardings=rep)
+            # image in_shardings are inferred from the staged argument
+            # (device_put through _fitted_sharding) — pinning them here
+            # would reject shapes whose dims don't divide the mesh axes
+            self._fwd = _CountCompiles(jax.jit(fwd, out_shardings=rep))
+            self._fwd_argmax = _CountCompiles(
+                jax.jit(fwd_argmax, out_shardings=rep))
         else:
             self._img_sharding = None
             # pin params/state on device: checkpoint loaders return host
@@ -178,7 +204,7 @@ class Predictor:
             # 165 MB R50 over a tunneled chip — 30x the forward itself)
             self.params = jax.tree.map(jnp.asarray, params)
             self.state = jax.tree.map(jnp.asarray, state)
-            self._fwd = jax.jit(fwd)
+            self._fwd = _CountCompiles(jax.jit(fwd))
             # label path = the DEPLOY forward (BN folded into convs +
             # fused upsample-argmax tail) — exact for inference and
             # measured 1.7x the raw eval graph (32.7 vs 57 ms at
@@ -188,25 +214,54 @@ class Predictor:
             afn, adev = make_inference_fn(graph, params, state,
                                           dtype=dtype, fold_bn=True,
                                           output="argmax")
-            self._afn = jax.jit(afn)
+            self._afn = _CountCompiles(jax.jit(afn))
             self._argmax_params = adev
             self._fwd_argmax = (
                 lambda p, s, image: self._afn(self._argmax_params, image))
+
+    def _fitted_sharding(self, shape):
+        """The image sharding with axes DROPPED where the dimension is
+        not divisible by the mesh axis (jax rejects uneven input
+        shardings) — e.g. a batch of 2 cannot spread over data=8, but
+        the 16-tile batch derived from it can."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axes = []
+        for i, ax in enumerate(self._img_spec):
+            n = self.mesh.shape[ax] if ax is not None else 1
+            axes.append(ax if ax is not None and shape[i] % n == 0
+                        else None)
+        axes += [None] * (len(shape) - len(axes))
+        return NamedSharding(self.mesh, P(*axes))
 
     def num_compiles(self) -> int:
         """Compiled-program count across all entry points (the
         bucketing discipline metric)."""
         total = 0
-        fns = [self._fwd, self._fwd_argmax, getattr(self, "_afn", None)]
-        for fn in fns:
-            try:
-                total += fn._cache_size()
-            except Exception:
-                pass
+        for fn in (self._fwd, self._fwd_argmax, getattr(self, "_afn",
+                                                        None)):
+            if isinstance(fn, _CountCompiles):
+                total += fn.count
+        # each cached sliding program is compiled for exactly one
+        # (image, tile) shape
+        total += len(getattr(self, "_sliding_cache", {}))
         return total
 
     def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
         return self._fwd(self.params, self.state, image)
+
+    # -- serialized-executable serving (the --use-trt analog) ---------------
+    def use_aot_whole(self, run, aot_params) -> None:
+        """Route whole-image forwards through a serialized deploy
+        executable (argmax output, reference evaluate.py:273-276)."""
+        self._fwd = lambda p, s, image: run(aot_params, image)
+        self._fwd_argmax = self._fwd
+
+    def use_aot_tiles(self, run, aot_params) -> None:
+        """Route sliding-window tiles through a tile-shaped serialized
+        executable (logits output).  The executable's fixed input shape
+        must match (batch, tile_h, tile_w, 3); the overlap scatter-add
+        still runs in a jitted program on device."""
+        self._aot_tile = (run, aot_params)
 
     # -- input staging -------------------------------------------------------
     def device_put(self, image: np.ndarray) -> jnp.ndarray:
@@ -220,7 +275,8 @@ class Predictor:
             if (bh, bw) != (h, w):
                 image = np.pad(np.asarray(image),
                                ((0, 0), (0, bh - h), (0, bw - w), (0, 0)))
-        dev = (jax.device_put(image, self._img_sharding)
+        dev = (jax.device_put(np.asarray(image),
+                              self._fitted_sharding(image.shape))
                if self._img_sharding is not None else jnp.asarray(image))
         np.asarray(jax.tree.leaves(dev)[0].ravel()[0])  # sync H2D
         return dev
@@ -276,17 +332,34 @@ class Predictor:
         n, h, w, _ = image.shape
         th, tw = tile_size
         boxes = tuple(self._tile_boxes(h, w, th, tw, overlap))
-        if self.mesh is not None:  # mesh path: batched host variant
-            return self._predict_sliding_host(image, tile_size,
-                                              num_classes, boxes)
         key = (n, h, w, th, tw, num_classes, boxes)
+        if getattr(self, "_aot_tile", None) is not None:
+            return self._predict_sliding_aot(image, (th, tw), num_classes,
+                                             boxes)
         fn = getattr(self, "_sliding_cache", {}).get(key)
         if fn is None:
-            graph, dtype = self.graph, self.dtype
+            graph, dtype, mesh = self.graph, self.dtype, self.mesh
+            if mesh is not None:
+                tile_sharding = self._fitted_sharding(
+                    (n * len(boxes), th, tw, image.shape[-1]))
 
             def sliding(params, state, image):
-                tiles = jnp.concatenate(
-                    [image[:, y1:y2, x1:x2] for y1, x1, y2, x2 in boxes])
+                # zero-pad undersized border tiles to (th, tw) before the
+                # forward and crop the logits back — the reference pads
+                # then crops (evaluate.py:166-171), so tiles always run
+                # at the canonical tile shape
+                tiles = jnp.concatenate([
+                    jnp.pad(image[:, y1:y2, x1:x2],
+                            ((0, 0), (0, th - (y2 - y1)),
+                             (0, tw - (x2 - x1)), (0, 0)))
+                    for y1, x1, y2, x2 in boxes])
+                if mesh is not None:
+                    # under a mesh the tile batch re-shards over the
+                    # image layout (tile-batch over 'data', height over
+                    # 'spatial') so the batched forward runs SPMD —
+                    # replaces the transfer-bound host overlap-add
+                    tiles = jax.lax.with_sharding_constraint(
+                        tiles, tile_sharding)
                 outs, _ = graph_apply(graph, params, state,
                                       {"image": tiles.astype(dtype)},
                                       train=False)
@@ -295,52 +368,89 @@ class Predictor:
                 count = jnp.zeros((1, h, w, 1), jnp.float32)
                 for i, (y1, x1, y2, x2) in enumerate(boxes):
                     full = full.at[:, y1:y2, x1:x2].add(
-                        logits[i * n:(i + 1) * n])
+                        logits[i * n:(i + 1) * n, :y2 - y1, :x2 - x1])
                     count = count.at[:, y1:y2, x1:x2].add(1.0)
                 return full / count
 
-            fn = jax.jit(sliding)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                rep = NamedSharding(mesh, P())
+                fn = jax.jit(sliding, out_shardings=rep)
+            else:
+                fn = jax.jit(sliding)
             if not hasattr(self, "_sliding_cache"):
                 self._sliding_cache = {}
             self._sliding_cache[key] = fn
         if not isinstance(image, jax.Array):
-            image = jnp.asarray(np.asarray(image))
+            image = (jax.device_put(np.asarray(image),
+                                    self._fitted_sharding(image.shape))
+                     if self._img_sharding is not None
+                     else jnp.asarray(np.asarray(image)))
         return fn(self.params, self.state, image)
 
-    def _predict_sliding_host(self, image, tile_size, num_classes, boxes):
+    def _predict_sliding_aot(self, image, tile_size, num_classes, boxes):
+        """Sliding eval through a tile-shaped serialized executable: one
+        executable call per box (the reference's per-tile TRT forwards,
+        evaluate.py:173-177), logits stay on device, one jitted
+        scatter-add merges them."""
+        run, aot_params = self._aot_tile
         n, h, w, _ = image.shape
         th, tw = tile_size
-        image = np.asarray(image)
-        tiles = np.stack([image[:, y1:y2, x1:x2]
-                          for y1, x1, y2, x2 in boxes])
-        logits = self(jnp.asarray(tiles.reshape(-1, th, tw,
-                                                image.shape[-1])))
-        logits = np.asarray(logits).reshape(len(boxes), n, th, tw, -1)
-        full = np.zeros((n, h, w, num_classes), np.float32)
-        count = np.zeros((1, h, w, 1), np.float32)
-        for i, (y1, x1, y2, x2) in enumerate(boxes):
-            full[:, y1:y2, x1:x2] += logits[i]
-            count[0, y1:y2, x1:x2] += 1.0
-        return full / count
+        dev = image if isinstance(image, jax.Array) \
+            else jnp.asarray(np.asarray(image))
+        logits = [run(aot_params,
+                      jnp.pad(dev[:, y1:y2, x1:x2].astype(self.dtype),
+                              ((0, 0), (0, th - (y2 - y1)),
+                               (0, tw - (x2 - x1)), (0, 0))))
+                  for y1, x1, y2, x2 in boxes]
+        key = ("aot", n, h, w, th, tw, num_classes, boxes)
+        fn = getattr(self, "_sliding_cache", {}).get(key)
+        if fn is None:
+            def scatter(parts):
+                full = jnp.zeros((n, h, w, num_classes), jnp.float32)
+                count = jnp.zeros((1, h, w, 1), jnp.float32)
+                for part, (y1, x1, y2, x2) in zip(parts, boxes):
+                    full = full.at[:, y1:y2, x1:x2].add(
+                        part.astype(jnp.float32)[:, :y2 - y1, :x2 - x1])
+                    count = count.at[:, y1:y2, x1:x2].add(1.0)
+                return full / count
+
+            fn = jax.jit(scatter)
+            if not hasattr(self, "_sliding_cache"):
+                self._sliding_cache = {}
+            self._sliding_cache[key] = fn
+        return fn(logits)
 
     # -- multi-scale + flip (evaluate.py:198-227) ---------------------------
     def predict_multiscale(self, image: np.ndarray,
                            tile_size: Tuple[int, int],
                            scales: Sequence[float], num_classes: int,
                            flip: bool, align_corner: bool,
-                           whole: bool) -> np.ndarray:
+                           whole: bool,
+                           return_probs: bool = False) -> np.ndarray:
         """Scale/flip-averaged prediction as (N, H, W) uint8 label maps,
         computed entirely on device: the image uploads once, per-scale
         resizes / tile scatter / flips / prob accumulation / the final
         argmax all run device-side — the host round trip of
         full-resolution f32 probs per scale (160 MB each at
         1024x2048x19) is what made ms/sliding eval transfer-bound.
+
+        ``return_probs`` returns the accumulated (N, H, W, C) f32 logits
+        instead of argmax labels — needed when the caller must resize
+        logits back to the original resolution before the argmax
+        (reference evaluate.py:340-343 longsize/shortsize protocol).
         """
         n, h, w, _ = image.shape
         # plain transfer (no bucket padding: per-scale shapes derive
-        # from the true (h, w) and compile per scale regardless)
-        dev = image if isinstance(image, jax.Array) \
-            else jnp.asarray(np.asarray(image))
+        # from the true (h, w) and compile per scale regardless); under
+        # a mesh the upload stages straight into the image sharding
+        if isinstance(image, jax.Array):
+            dev = image
+        elif self._img_sharding is not None:
+            dev = jax.device_put(np.asarray(image),
+                                 self._fitted_sharding(image.shape))
+        else:
+            dev = jnp.asarray(np.asarray(image))
         acc = jnp.zeros((n, h, w, num_classes), jnp.float32)
         for scale in scales:
             hs, ws = int(h * float(scale)), int(w * float(scale))
@@ -362,6 +472,8 @@ class Predictor:
                                    + jnp.asarray(fp)[:, :, ::-1])
             acc = acc + resize_bilinear(jnp.asarray(probs), (h, w),
                                         align_corners=align_corner)
+        if return_probs:
+            return acc
         return jnp.argmax(acc, -1).astype(jnp.uint8)
 
 
@@ -406,7 +518,14 @@ def evaluate(predictor: Predictor, loader: Iterable, *, num_classes: int,
                 image = np.pad(image, ((0, 0), (0, ph - size_scale[0]),
                                        (0, pw - size_scale[1]), (0, 0)))
 
-        if whole and tuple(scales) == (1.0,) and not flip:
+        # longsize/shortsize runs must resize *logits* back to the
+        # original resolution before the argmax (reference
+        # evaluate.py:340-343 F.interpolate of the output) — route those
+        # through the probability path instead of the uint8 label path
+        need_resize = ((longsize > 0 or shortsize > 0)
+                       and tuple(size_scale) != tuple(orig_hw))
+        if (whole and tuple(scales) == (1.0,) and not flip
+                and not need_resize):
             # reference protocol (evaluate.py:326-337): H2D before the
             # timed region; bracket closes on a one-element host fetch
             # (device programs run in dispatch order, so that waits for
@@ -425,7 +544,7 @@ def evaluate(predictor: Predictor, loader: Iterable, *, num_classes: int,
             t0 = time.perf_counter()
             out = predictor.predict_multiscale(
                 image, tile_size, scales, num_classes, flip, align_corner,
-                whole)
+                whole, return_probs=need_resize)
             if isinstance(out, jax.Array):  # close the bracket on device
                 np.asarray(out.ravel()[0])
             elapsed = time.perf_counter() - t0
@@ -433,13 +552,6 @@ def evaluate(predictor: Predictor, loader: Iterable, *, num_classes: int,
         if out.ndim == 3:  # executable already emitted argmax label maps
             seg_pred = np.asarray(out)[:, :size_scale[0],
                                        :size_scale[1]].astype(np.uint8)
-            if (longsize > 0 or shortsize > 0) and \
-                    seg_pred.shape[1:] != tuple(orig_hw):
-                import cv2
-                seg_pred = np.stack([
-                    cv2.resize(p, (orig_hw[1], orig_hw[0]),
-                               interpolation=cv2.INTER_NEAREST)
-                    for p in seg_pred])
         else:
             out = out[:, :size_scale[0], :size_scale[1]]
             if longsize > 0 or shortsize > 0:
@@ -485,7 +597,7 @@ def evaluate(predictor: Predictor, loader: Iterable, *, num_classes: int,
     result["confusion"] = cm
     log.info("meanIU=%.4f meanP=%.4f meanR=%.4f FPS=%.2f",
              result["meanIU"], result["meanP"], result["meanR"], fps)
-    if result_file:
+    if result_file and jax.process_index() == 0:  # rank-0 result.txt
         with open(result_file, "a") as f:
             f.write(f"test with {result_tag}\n")
             f.write(json.dumps({"meanIU": result["meanIU"],

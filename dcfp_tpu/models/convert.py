@@ -98,9 +98,51 @@ def torch_state_dict_to_graph(graph: Graph, sd: Mapping[str, Any], *,
 def load_torch_checkpoint(graph: Graph, path: str, *, prefix: str = "",
                           strict: bool = False):
     """Load a torch ``.pth`` file from disk (requires torch, CPU-only)."""
-    import torch  # local import: torch is a conversion-time-only dependency
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    from dcfp_tpu.utils.checkpoint import _torch_load
+    sd = _torch_load(path)
     return torch_state_dict_to_graph(graph, sd, prefix=prefix, strict=strict)
+
+
+def to_torch_state_dict(params: Mapping[str, Any],
+                        state: Optional[Mapping[str, Any]] = None) -> Dict:
+    """Graph params/state -> a reference-format torch state_dict
+    (``<name>.weight`` OIHW kernels, BN weight/bias/running_mean/
+    running_var), so artifacts produced here can be consumed by the
+    reference's ``load_model`` (utils/pyt_utils.py:43-96) /
+    ``init_pruned_model`` (channel_pruner.py:29-74) flows."""
+    import torch  # local: export-time-only dependency
+
+    sd: Dict[str, Any] = {}
+    for name, p in params.items():
+        if "kernel" in p:
+            sd[f"{name}.weight"] = torch.from_numpy(np.ascontiguousarray(
+                np.transpose(np.asarray(p["kernel"]), (3, 2, 0, 1))))
+            if "bias" in p:
+                sd[f"{name}.bias"] = torch.from_numpy(
+                    np.asarray(p["bias"]).copy())
+        elif "scale" in p:
+            sd[f"{name}.weight"] = torch.from_numpy(
+                np.asarray(p["scale"]).copy())
+            sd[f"{name}.bias"] = torch.from_numpy(
+                np.asarray(p["bias"]).copy())
+    for name, s in (state or {}).items():
+        sd[f"{name}.running_mean"] = torch.from_numpy(
+            np.asarray(s["mean"]).copy())
+        sd[f"{name}.running_var"] = torch.from_numpy(
+            np.asarray(s["var"]).copy())
+    return sd
+
+
+def channel_cfg_to_torch(channel_cfg: Mapping[str, Any]) -> Dict:
+    """channel_cfg pytree -> the reference's channel_cfg.pth schema
+    (ints + torch tensors; channel_pruner.py:821-842), loadable under
+    ``torch.load(weights_only=True)``."""
+    import torch
+
+    return {name: {k: (torch.from_numpy(np.ascontiguousarray(v))
+                       if np.ndim(v) else int(v))
+                   for k, v in entry.items()}
+            for name, entry in channel_cfg.items()}
 
 
 def merge_pretrained_backbone(graph: Graph, sd: Mapping[str, Any],

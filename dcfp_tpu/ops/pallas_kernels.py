@@ -107,8 +107,7 @@ def _resize_argmax_hwc(z, out_hw, align_corners, interpret):
 _STEM_ROW_TILE = 16
 
 
-def extract_stem_phases(image: jnp.ndarray, row_tile: int = _STEM_ROW_TILE
-                        ) -> jnp.ndarray:
+def extract_stem_phases(image: jnp.ndarray) -> jnp.ndarray:
     """(H, W, C) image -> (4*C, Hp, Wp) stride-2 phase planes for
     :func:`stem_conv3x3_s2` (k3 s2 pad1 'same' semantics).
 
@@ -121,7 +120,9 @@ def extract_stem_phases(image: jnp.ndarray, row_tile: int = _STEM_ROW_TILE
     """
     h, w, c = image.shape
     ho, wo = (h + 1) // 2, (w + 1) // 2
-    hp = -(-(ho + 1) // row_tile) * row_tile + 8  # kernel B-block slack
+    # row layout is fixed to the kernel's _STEM_ROW_TILE grid: a smaller
+    # tile would leave the B-carry block read out of bounds
+    hp = -(-(ho + 1) // _STEM_ROW_TILE) * _STEM_ROW_TILE + 8
     wp = wo + 1
     np_mod = np if isinstance(image, np.ndarray) else jnp
     xp = np_mod.pad(image, ((1, 1), (1, 1), (0, 0)))

@@ -54,8 +54,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put(v, s: NamedSharding):
+    """Host array -> global device array under ``s``.
+
+    Multi-process jobs assemble the global array from each process's
+    LOCAL piece (jax.make_array_from_process_local_data — the
+    DistributedSampler-feeds-local-rank analog, engine.py:81-93); a
+    replicated spec expects the identical full array on every process.
+    Single-process jobs are a plain device_put."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(s, np.asarray(v))
+    return jax.device_put(v, s)
+
+
+def replicate_tree(mesh: Mesh, tree):
+    """Replicate a pytree onto every device of a (possibly multi-process)
+    mesh."""
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: put(np.asarray(x), rep), tree)
+
+
 def shard_batch(mesh: Mesh, batch: dict, spatial: bool = True) -> dict:
-    """Place a host batch dict onto the mesh with batch/label shardings."""
+    """Place a host batch dict onto the mesh with batch/label shardings.
+    In multi-process jobs ``batch`` is this process's local shard of the
+    global batch (rows rank::world of the epoch permutation)."""
     out = {}
     for k, v in batch.items():
         if hasattr(v, "ndim") and v.ndim == 4:
@@ -67,5 +89,5 @@ def shard_batch(mesh: Mesh, batch: dict, spatial: bool = True) -> dict:
             continue
         else:
             s = replicated(mesh)
-        out[k] = jax.device_put(v, s)
+        out[k] = put(v, s)
     return out

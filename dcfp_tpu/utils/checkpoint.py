@@ -70,8 +70,27 @@ def _is_torch_file(path: str) -> bool:
 
 
 def _torch_load(path: str):
+    """Load a reference ``.pth`` artifact safely.
+
+    ``weights_only=True`` first: every reference artifact we interop with
+    (state_dicts, score.pth, channel_cfg.pth, pruned.pth) is a plain
+    container of tensors/ints, so the restricted unpickler suffices.  The
+    unrestricted path executes arbitrary pickle code and is only enabled
+    by the explicit opt-in env ``DCFP_UNSAFE_TORCH_LOAD=1`` (for exotic
+    third-party files), with a warning."""
     import torch  # local: only needed when reading reference artifacts
-    return torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:  # pickle.UnpicklingError subclass in torch>=2.4
+        if os.environ.get("DCFP_UNSAFE_TORCH_LOAD") != "1":
+            raise RuntimeError(
+                f"{path} is not loadable with torch weights_only=True "
+                f"({e}).  If you trust this file, set "
+                "DCFP_UNSAFE_TORCH_LOAD=1 to allow full unpickling "
+                "(executes arbitrary code from the file).") from e
+        log.warning("DCFP_UNSAFE_TORCH_LOAD=1: unpickling %s without "
+                    "weights_only protection", path)
+        return torch.load(path, map_location="cpu", weights_only=False)
 
 
 def _torch_trees(sd, params_template: Any, state_template: Any):
@@ -217,7 +236,23 @@ def load_eic(path: str) -> Dict[str, np.ndarray]:
     return {k: np.asarray(v) for k, v in load_pytree(path).items()}
 
 
+def _torch_save(path: str, obj) -> None:
+    import torch
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    torch.save(obj, tmp)
+    os.replace(tmp, path)
+    log.info("saved %s (torch format)", path)
+
+
 def save_channel_cfg(path: str, channel_cfg: Dict) -> None:
+    """A ``.pth`` path writes the reference's own channel_cfg schema so
+    the artifact feeds straight back into the reference's
+    ``init_pruned_model`` (channel_pruner.py:29-74)."""
+    if _is_torch_file(path):
+        from dcfp_tpu.models.convert import channel_cfg_to_torch
+        _torch_save(path, channel_cfg_to_torch(channel_cfg))
+        return
     save_pytree(path, channel_cfg)
 
 
@@ -237,6 +272,12 @@ def load_channel_cfg(path: str) -> Dict:
 
 
 def save_pruned(path: str, params: Any, state: Any) -> None:
+    """A ``.pth`` path writes a reference-format torch state_dict
+    (consumed by the reference's load_model after init_pruned_model)."""
+    if _is_torch_file(path):
+        from dcfp_tpu.models.convert import to_torch_state_dict
+        _torch_save(path, to_torch_state_dict(params, state))
+        return
     save_pytree(path, {"params": params, "state": state})
 
 

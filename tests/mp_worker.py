@@ -1,0 +1,164 @@
+"""Worker for the 2-process x 2-device CPU multi-process test
+(launched by tests/test_multiprocess.py, NOT collected by pytest).
+
+Each process owns 2 virtual CPU devices; together they form a
+4-device 'data' mesh.  The worker:
+
+* initializes the multi-host runtime (parallel.distributed.initialize —
+  the reference engine.py:38-46 analog);
+* feeds its LOCAL slice of a deterministic global batch through
+  mesh.shard_batch (jax.make_array_from_process_local_data path);
+* runs train steps (ce + EIC) over the global mesh and checks the
+  distributed loss/params/EIC against an UNSHARDED local recomputation
+  on the full global batch — data-parallel SPMD must be numerically a
+  batch-mean, so the two agree;
+* exercises allreduce_confusion across processes
+  (reference evaluate.py:370-372).
+
+Writes 'OK' (or the failure) to <outdir>/proc<id>.txt.
+"""
+
+import os
+import sys
+
+
+def main() -> int:
+    port, pid, outdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # replace (not append): the parent test session's XLA_FLAGS pin a
+    # different virtual device count
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from dcfp_tpu.parallel import distributed
+    from dcfp_tpu.parallel.mesh import replicate_tree, shard_batch
+
+    distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=2, process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 4, jax.device_count()
+
+    from dcfp_tpu.engine.evaluator import allreduce_confusion
+    from dcfp_tpu.engine.optim import build_optimizer
+    from dcfp_tpu.engine.trainer import create_train_state, make_train_step
+    from dcfp_tpu.losses.criteria import build_criterions
+    from dcfp_tpu.graph.apply import init_graph
+    from dcfp_tpu.models.registry import build_model
+    from dcfp_tpu.parallel.distributed import (create_pod_mesh,
+                                               process_batch_slice)
+
+    model = build_model("simple", backbone="resnet50",
+                        backbone_para={"os": 32, "mg_unit": [1, 1, 1],
+                                       "inplanes": 64},
+                        num_classes=5, align_corner=False, deepsup=False)
+    params, bn = init_graph(model.graph, jax.random.key(0))
+    # host snapshot of the initial weights: the train step donates its
+    # state buffers, which would delete the original device arrays
+    params0 = jax.tree.map(np.asarray, params)
+    tx = build_optimizer(optim="sgd", learning_rate=0.01, momentum=0.9,
+                         weight_decay=5e-4, num_steps=10, power=0.9,
+                         warmup=0)
+    crit = build_criterions("ce", ignore_label=255)
+    step = make_train_step(model, crit, tx)
+
+    # deterministic GLOBAL batches; every process derives the same ones
+    r = np.random.default_rng(0)
+    n_steps, gb = 3, 4
+    batches = []
+    for _ in range(n_steps):
+        img = r.standard_normal((gb, 33, 33, 3)).astype(np.float32) * 0.5
+        lab = r.integers(0, 5, (gb, 33, 33)).astype(np.int32)
+        lab[r.random((gb, 33, 33)) < 0.1] = 255
+        batches.append({"img": img, "label": lab})
+
+    mesh = create_pod_mesh(n_spatial=1)
+    assert mesh.devices.size == 4
+
+    # ---- distributed run: local slice in, SPMD over the global mesh ----
+    state = create_train_state(model, params, bn, tx, prune_type="dcfp")
+    state = replicate_tree(mesh, state)
+    sl = process_batch_slice(gb)
+    dist_losses, state1 = [], None
+    for i, b in enumerate(batches):
+        local = {"img": b["img"][sl], "label": b["label"][sl]}
+        sharded = shard_batch(mesh, local, spatial=False)
+        state, m = step(state, sharded, jax.random.key(0))
+        dist_losses.append(float(m["loss"]))
+        if i == 0:
+            state1 = jax.tree.map(np.asarray, state)
+
+    # ---- unsharded local recomputation on the full global batch --------
+    state_ref = create_train_state(model, params, bn, tx,
+                                   prune_type="dcfp")
+    ref_losses, ref1 = [], None
+    for i, b in enumerate(batches):
+        state_ref, m = step(state_ref,
+                            {"img": jnp.asarray(b["img"]),
+                             "label": jnp.asarray(b["label"])},
+                            jax.random.key(0))
+        ref_losses.append(float(m["loss"]))
+        if i == 0:
+            ref1 = jax.tree.map(np.asarray, state_ref)
+
+    # step 0 is a pure forward from identical weights: tight; later
+    # steps compound f32 accumulation-order noise chaotically through BN
+    # stats (see tests/test_dynamics.py) — loose but behavioral bound
+    np.testing.assert_allclose(dist_losses[0], ref_losses[0], rtol=1e-5,
+                               err_msg="step-0 distributed loss")
+    np.testing.assert_allclose(dist_losses, ref_losses, rtol=2e-2,
+                               err_msg="distributed loss trajectory")
+    # state after ONE step: the update VECTORS (step1 - init) of the two
+    # runs must point the same way.  Elementwise equality is unattainable
+    # for early-layer gradients (large cancellation sums whose f32
+    # rounding depends on the reduction layout — see test_dynamics), so
+    # compare direction, like the reference-parity dynamics golden.
+    for name in ["backbone.conv1.0", "backbone.layer2.0.conv1"]:
+        d_got = (np.asarray(state1.params[name]["kernel"], np.float64)
+                 - np.asarray(params0[name]["kernel"], np.float64)).ravel()
+        d_want = (np.asarray(ref1.params[name]["kernel"], np.float64)
+                  - np.asarray(params0[name]["kernel"],
+                               np.float64)).ravel()
+        cos = float(d_got @ d_want /
+                    (np.linalg.norm(d_got) * np.linalg.norm(d_want)
+                     + 1e-30))
+        assert cos > 0.95, f"update direction at {name}: cos={cos:.4f}"
+    # EIC ranking agreement (what the scores exist for)
+    eic_name = "backbone.layer2.0.bn1"
+    got = np.asarray(state1.eic[eic_name], np.float64)
+    want = np.asarray(ref1.eic[eic_name], np.float64)
+    corr = float(np.corrcoef(got, want)[0, 1])
+    assert corr > 0.95, f"eic corr {corr:.4f}"
+    bn_name = "backbone.bn1"
+    np.testing.assert_allclose(np.asarray(state1.bn_state[bn_name]["mean"]),
+                               np.asarray(ref1.bn_state[bn_name]["mean"]),
+                               rtol=1e-3, atol=1e-6)
+
+    # ---- multi-process confusion reduction -----------------------------
+    full = np.arange(16, dtype=np.float64).reshape(4, 4)
+    partial = full * 0.25 + (0.25 if pid == 1 else -0.25)
+    summed = allreduce_confusion(partial)
+    want = 2 * (full * 0.25)  # the +/-0.25 halves cancel
+    np.testing.assert_allclose(summed, want, rtol=1e-12,
+                               err_msg="allreduce_confusion mismatch")
+
+    with open(os.path.join(outdir, f"proc{pid}.txt"), "w") as f:
+        f.write("OK\n")
+        f.write(" ".join(f"{x:.6f}" for x in dist_losses))
+    return 0
+
+
+if __name__ == "__main__":
+    try:
+        raise SystemExit(main())
+    except SystemExit:
+        raise
+    except BaseException as e:  # record the failure for the parent test
+        import traceback
+        outdir = sys.argv[3]
+        pid = sys.argv[2]
+        with open(os.path.join(outdir, f"proc{pid}.txt"), "w") as f:
+            f.write("FAIL\n")
+            f.write(traceback.format_exc())
+        raise

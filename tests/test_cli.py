@@ -192,6 +192,38 @@ def test_evaluate_serves_aot_artifact(cs_fixture, tmp_path_factory):
             "--aot-path", os.path.join(deploy_dir, "model.stablehlo"),
             "--whole", "true", "--ms", "0.5,1"])
 
+    # sliding-window serving through a tile-shaped logits export
+    # (reference evaluate.py:273-276 uses the TRT engine inside
+    # predict_sliding too); mIoU matches the jit sliding path
+    tile_dir = os.path.join(work, "deploy_tile")
+    assert deploy.main([
+        "--dataset", "CS", "--model", "simple", "--backbone", "resnet50",
+        "--backbone-para", BACKBONE_PARA, "--align-corner", "false",
+        "--input-size", "48,64", "--output", "logits",
+        "--restore-from", ckpt_path, "--save-dir", tile_dir,
+        "--warmup", "1", "--iters", "2", "--dtype", "float32"]) == 0
+    common = ["--dataset", "CS", "--data-dir", "val", "--model", "simple",
+              "--backbone", "resnet50", "--backbone-para", BACKBONE_PARA,
+              "--align-corner", "false", "--whole", "false", "--ms", "1",
+              "--input-size", "48,64", "--restore-from", ckpt_path]
+    rf_aot = os.path.join(work, "result_sliding_aot.txt")
+    assert evaluate.main(common + [
+        "--use-aot", "true",
+        "--aot-path", os.path.join(tile_dir, "model.stablehlo"),
+        "--result-file", rf_aot]) == 0
+    rf_jit = os.path.join(work, "result_sliding_jit.txt")
+    assert evaluate.main(common + ["--result-file", rf_jit]) == 0
+    miou_aot = json.loads(open(rf_aot).read().splitlines()[1])["meanIU"]
+    miou_jit = json.loads(open(rf_jit).read().splitlines()[1])["meanIU"]
+    assert abs(miou_aot - miou_jit) < 0.02, (miou_aot, miou_jit)
+
+    # wrong-shape tile artifact is rejected via meta.json
+    with pytest.raises(SystemExit):
+        evaluate.main(common[:-4] + [
+            "--input-size", "40,40", "--restore-from", ckpt_path,
+            "--use-aot", "true",
+            "--aot-path", os.path.join(tile_dir, "model.stablehlo")])
+
 
 def test_ctx_pipeline_minimal(tmp_path_factory):
     """The shifted-label dataset family through the CLIs (CTX: 59

@@ -225,3 +225,60 @@ def test_compact_item_matches_classic(cs_fixture):
     np.testing.assert_allclose(np.asarray(labels["weight"]),
                                batch_classic["label"]["weight"],
                                rtol=1e-6, atol=1e-7)
+
+
+def test_train_loader_worker_invariance(cs_fixture):
+    """The decode-worker pool produces byte-identical batches to the
+    sequential path (per-batch reseeding makes the stream deterministic
+    in (seed, epoch, batch, rank) — torch DataLoader workers can't do
+    this), and batches come out in order."""
+    root, manifest = cs_fixture
+
+    def first_batches(num_workers, n=5):
+        ds = CityscapesDataset(root, manifest, split="train",
+                               crop_size=(32, 32), seed=3)
+        loader = TrainLoader(ds, batch_size=2, seed=11,
+                             num_workers=num_workers)
+        it = iter(loader)
+        out = [next(it) for _ in range(n)]
+        loader.stop()
+        return out
+
+    seq = first_batches(0)
+    par = first_batches(3)
+    for a, b in zip(seq, par):
+        np.testing.assert_array_equal(a["img"], b["img"])
+        np.testing.assert_array_equal(a["label"], b["label"])
+
+
+def test_train_loader_rank_sharding(cs_fixture):
+    """rank/world stride-split the shared epoch permutation
+    (DistributedSampler semantics, reference engine.py:81-93): the union
+    of all ranks' samples per epoch is the full permutation and ranks
+    are disjoint."""
+    root, manifest = cs_fixture
+
+    def epoch_indices(rank, world):
+        ds = CityscapesDataset(root, manifest, split="train",
+                               crop_size=(32, 32), seed=0)
+        loader = TrainLoader(ds, batch_size=1, seed=5, rank=rank,
+                             world=world, prefetch=0)
+        it = iter(loader)
+        # 6 images / 2 ranks -> 3 batches of 1 per epoch
+        return [next(it)["img_meta"][0]["idx"] for _ in range(3)]
+
+    r0 = epoch_indices(0, 2)
+    r1 = epoch_indices(1, 2)
+    assert not set(r0) & set(r1)
+    assert set(r0) | set(r1) == set(range(6))
+
+
+def test_eval_loader_rank_sharding(cs_fixture):
+    root, manifest = cs_fixture
+    ds = CityscapesDataset(root, manifest, split="val", crop_size=(64, 64))
+    seen = []
+    for rank in range(3):
+        loader = EvalLoader(ds, batch_size=1, rank=rank, world=3)
+        assert len(loader) == 2
+        seen += [b["img_meta"][0]["idx"] for b in loader]
+    assert sorted(seen) == list(range(6))

@@ -55,7 +55,8 @@ def make_batches(loss_type, n=2, hw=65, c=19, ignore=255):
     return batches
 
 
-def run_reference(loss_type, batches, warmup, snap_at=0):
+def run_reference(loss_type, batches, warmup, snap_at=0, loss_para=None,
+                  channel_cfg=None, pruned_sd=None):
     import torch
     from loss.criterion import build_criterions as ref_build
     from optimizer import adjust_learning_rate
@@ -70,12 +71,20 @@ def run_reference(loss_type, batches, warmup, snap_at=0):
 
     dataset = types.SimpleNamespace(ignore_label=255, class_weights=None,
                                     num_classes=19)
-    criterion = ref_build(loss_type, dataset, {})
+    criterion = ref_build(loss_type, dataset, dict(loss_para or {}))
     torch.manual_seed(0)
     model = networks.deeplabv3.Seg_Model(
         backbone="resnet50", backbone_para=dict(BPARA, pretrained=False),
         model_para={}, num_classes=19, align_corner=True,
         criterion=criterion, deepsup=True)
+    if channel_cfg is not None:
+        # finetune-at-pruned-widths path (reference train.py:200-210):
+        # shrink the architecture, then load the pruned checkpoint
+        from pruners.channel_pruner import init_pruned_model
+        init_pruned_model(model, channel_cfg)
+        missing, unexpected = model.load_state_dict(pruned_sd,
+                                                    strict=False)
+        assert not [k for k in missing if "num_batches" not in k], missing
     init_sd = {k: v.clone() for k, v in model.state_dict().items()}
     model.train()
     for m in model.modules():  # dropout RNG streams can't be aligned
@@ -112,10 +121,16 @@ def run_reference(loss_type, batches, warmup, snap_at=0):
     return init_sd, sd_step1, losses, eic_step1
 
 
-def run_ours(loss_type, batches, init_sd, warmup, snap_at=0):
+def run_ours(loss_type, batches, init_sd, warmup, snap_at=0,
+             loss_para=None, channel_cfg=None):
+    import dataclasses
     model = build_model("deeplabv3", backbone="resnet50",
                         backbone_para=dict(BPARA), num_classes=19,
                         align_corner=True, deepsup=True)
+    if channel_cfg is not None:
+        from dcfp_tpu.prune.pruner import apply_channel_cfg
+        model = dataclasses.replace(
+            model, graph=apply_channel_cfg(model.graph, channel_cfg))
     for node in model.graph.toposorted():  # match the torch side: p=0
         if node.op == "dropout":
             node.attrs["rate"] = 0.0
@@ -125,7 +140,8 @@ def run_ours(loss_type, batches, init_sd, warmup, snap_at=0):
                          weight_decay=WD, num_steps=SCHED_STEPS,
                          power=POWER, warmup=warmup)
     state = create_train_state(model, params, bn, tx, prune_type="dcfp")
-    crit = build_criterions(loss_type, ignore_label=255)
+    crit = build_criterions(loss_type, ignore_label=255,
+                            loss_para=dict(loss_para or {}))
     step = make_train_step(model, crit, tx)
 
     losses = []
@@ -140,19 +156,43 @@ def run_ours(loss_type, batches, init_sd, warmup, snap_at=0):
 
 
 @pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
-@pytest.mark.parametrize("loss_type,warmup", [("ce", 0), ("gsrl", 3)])
-def test_training_dynamics_match_reference(loss_type, warmup):
+@pytest.mark.parametrize("loss_type,warmup,loss_para", [
+    ("ce", 0, None),
+    ("gsrl", 3, None),
+    # low thresh + small min_kept so the mining actually drops pixels at
+    # random-init prediction confidence (~1/19); defaults would keep all
+    ("ohem", 0, {"ohem_thres": 0.05, "ohem_keep": 2000}),
+])
+def test_training_dynamics_match_reference(loss_type, warmup, loss_para):
     batches = make_batches(loss_type)
     # Snapshot state after the first step whose LR is meaningful: with
     # warmup, step 0's LR is base*1e-6 (optimizer.py:64-68) and its
     # update (~1e-10) sits below f32 subtraction precision, so state
     # comparisons there measure cancellation noise, not parity.
     snap_at = 1 if warmup > 0 else 0
-    init_sd, sd_step1, ref_losses, ref_eic = run_reference(
-        loss_type, batches, warmup, snap_at)
+    if loss_type == "ohem":
+        # reference ohem.py:76 hard-codes .cuda(target.get_device());
+        # make that a no-op so its own mining logic runs on CPU
+        import contextlib
+        from unittest import mock
+        import torch
+        cpu_shim = mock.patch.object(
+            torch.Tensor, "cuda", lambda self, *a, **k: self)
+    else:
+        import contextlib
+        cpu_shim = contextlib.nullcontext()
+    with cpu_shim:
+        init_sd, sd_step1, ref_losses, ref_eic = run_reference(
+            loss_type, batches, warmup, snap_at, loss_para)
     state1, our_losses = run_ours(loss_type, batches, init_sd, warmup,
-                                  snap_at)
+                                  snap_at, loss_para)
+    _assert_dynamics_match(loss_type, init_sd, sd_step1, ref_losses,
+                           ref_eic, state1, our_losses)
 
+
+def _assert_dynamics_match(loss_type, init_sd, sd_step1, ref_losses,
+                           ref_eic, state1, our_losses, channel_cfg=None,
+                           min_shared=50):
     # Per-step loss trajectory (the training-dynamics proxy).  Step 0 is
     # a pure forward+loss from identical weights: tight.  Later steps
     # compound f32 accumulation-order differences chaotically through
@@ -173,7 +213,8 @@ def test_training_dynamics_match_reference(loss_type, warmup):
     # pruning *ranking*, so assert per-layer correlation plus agreement
     # of the global-quantile keep decision.
     shared = sorted(set(ref_eic) & set(state1.eic))
-    assert len(shared) >= 50, (len(shared), len(ref_eic), len(state1.eic))
+    assert len(shared) >= min_shared, (len(shared), len(ref_eic),
+                                       len(state1.eic))
     got_all, want_all = [], []
     for name in shared:
         got = np.asarray(state1.eic[name], np.float64)
@@ -197,6 +238,11 @@ def test_training_dynamics_match_reference(loss_type, warmup):
     model = build_model("deeplabv3", backbone="resnet50",
                         backbone_para=dict(BPARA), num_classes=19,
                         align_corner=True, deepsup=True)
+    if channel_cfg is not None:
+        import dataclasses
+        from dcfp_tpu.prune.pruner import apply_channel_cfg
+        model = dataclasses.replace(
+            model, graph=apply_channel_cfg(model.graph, channel_cfg))
     p0, b0, _ = torch_state_dict_to_graph(model.graph, init_sd)
     p1, b1, _ = torch_state_dict_to_graph(model.graph, sd_step1)
     flat_got = jax.tree_util.tree_leaves_with_path(state1.params)
@@ -225,3 +271,53 @@ def test_training_dynamics_match_reference(loss_type, warmup):
                 np.asarray(state1.bn_state[name][key]),
                 np.asarray(b1[name][key]), rtol=1e-5, atol=5e-7,
                 err_msg=f"{loss_type} bn_state {name}.{key}")
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+def test_training_dynamics_pruned_widths():
+    """Finetune-at-pruned-widths parity (reference train.py:200-210 +
+    hot loop): prune a full model with our DCFPPruner, hand the
+    channel_cfg + pruned weights to the reference's init_pruned_model /
+    load path, and train BOTH frameworks at the pruned widths with the
+    finetune loss (gsrl, warmup) — trajectory, EIC, update direction and
+    BN stats must match just like the full-width cases."""
+    import torch
+    from dcfp_tpu.models.convert import (channel_cfg_to_torch,
+                                         to_torch_state_dict)
+    from dcfp_tpu.prune.eic import prunable_bn_names
+    from dcfp_tpu.prune.pruner import DCFPPruner
+
+    full = build_model("deeplabv3", backbone="resnet50",
+                       backbone_para=dict(BPARA), num_classes=19,
+                       align_corner=True, deepsup=True)
+    import networks
+    torch.manual_seed(0)
+    ref_full = networks.deeplabv3.Seg_Model(
+        backbone="resnet50", backbone_para=dict(BPARA, pretrained=False),
+        model_para={}, num_classes=19, align_corner=True, criterion=None,
+        deepsup=True)
+    params, bn, report = torch_state_dict_to_graph(full.graph,
+                                                   ref_full.state_dict())
+    assert not report["missing"] and not report["unexpected"]
+
+    r = np.random.default_rng(5)
+    eic = {name: r.uniform(0.0, 1.0,
+                           full.graph.node(name).attrs["channels"]
+                           ).astype(np.float32)
+           for name in prunable_bn_names(full.graph)}
+    result = DCFPPruner(eic, global_percent=0.5, layer_keep=0.02,
+                        except_start_keys=["conv_deepsup"]
+                        ).prune_model(full.graph, params, bn)
+
+    cfg_torch = channel_cfg_to_torch(result.channel_cfg)
+    pruned_sd = to_torch_state_dict(result.params, result.state)
+
+    loss_type, warmup, snap_at = "gsrl", 3, 1
+    batches = make_batches(loss_type)
+    init_sd, sd_step1, ref_losses, ref_eic = run_reference(
+        loss_type, batches, warmup, snap_at, None, cfg_torch, pruned_sd)
+    state1, our_losses = run_ours(loss_type, batches, init_sd, warmup,
+                                  snap_at, None, result.channel_cfg)
+    _assert_dynamics_match(loss_type, init_sd, sd_step1, ref_losses,
+                           ref_eic, state1, our_losses,
+                           channel_cfg=result.channel_cfg)

@@ -283,3 +283,33 @@ def test_label_path_agrees_with_logits_argmax(rng):
     ref = np.argmax(np.asarray(p.predict_whole(img)), -1)
     assert labels.shape == ref.shape and labels.dtype == np.uint8
     assert (labels == ref).mean() > 0.995
+
+
+@pytest.mark.parametrize("shard,n_data,n_spatial", [
+    ("data", 8, 1),
+    ("both", 4, 2),
+])
+def test_mesh_sliding_and_ms_match_single(rng, shard, n_data, n_spatial):
+    """Sliding-window and multi-scale+flip eval under a device mesh run
+    fully device-side (tile batch re-sharded over 'data', image height
+    over 'spatial') and reproduce the single-device results — no host
+    overlap-add fallback (reference evaluate.py:145-227)."""
+    from dcfp_tpu.parallel.mesh import create_mesh
+    g = conv3_model()
+    params, state = init_graph(g, jax.random.key(0))
+    img = rng.standard_normal((2, 40, 48, 3), dtype=np.float32)
+    tile, nc = (24, 24), 6
+
+    single = Predictor(g, params, state)
+    mesh = create_mesh(n_data=n_data, n_spatial=n_spatial)
+    meshed = Predictor(g, params, state, mesh=mesh, shard=shard)
+
+    s1 = np.asarray(single.predict_sliding(img, tile, nc))
+    s2 = np.asarray(meshed.predict_sliding(img, tile, nc))
+    np.testing.assert_allclose(s2, s1, rtol=1e-5, atol=1e-6)
+
+    kw = dict(scales=(0.75, 1.0), num_classes=nc, flip=True,
+              align_corner=False, whole=False, return_probs=True)
+    m1 = np.asarray(single.predict_multiscale(img, tile, **kw))
+    m2 = np.asarray(meshed.predict_multiscale(img, tile, **kw))
+    np.testing.assert_allclose(m2, m1, rtol=1e-5, atol=1e-6)
