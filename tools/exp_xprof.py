@@ -21,6 +21,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# persistent compile cache (same default as the CLIs): repeat experiment
+# runs at the same shapes skip the minutes-long XLA compile
+_cache = os.environ.get("DCFP_COMPILE_CACHE",
+                        os.path.expanduser("~/.cache/dcfp_tpu_xla"))
+if _cache and _cache != "0":
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 import jax.numpy as jnp
 import numpy as np
 
