@@ -19,9 +19,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dcfp_tpu.cli.common import (add_data_args, add_model_args,
-                                 build_dataset_from_args,
+from dcfp_tpu.cli.common import (add_data_args, add_distributed_args,
+                                 add_model_args, build_dataset_from_args,
                                  build_model_from_args,
+                                 maybe_initialize_distributed,
                                  maybe_load_channel_cfg, parse_hw, str2bool)
 from dcfp_tpu.utils.logger import get_logger
 
@@ -39,11 +40,13 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--ms", type=str, default="1")
     p.add_argument("--output-dir", type=str, default="outputs")
     p.add_argument("--dtype", type=str, default="float32")
+    add_distributed_args(p)
     return p
 
 
 def main(argv=None) -> int:
     args = get_parser().parse_args(argv)
+    maybe_initialize_distributed(args)  # before any other jax call
     from PIL import Image as PILImage
 
     from dcfp_tpu.data.loader import EvalLoader
@@ -54,7 +57,10 @@ def main(argv=None) -> int:
     from dcfp_tpu.utils import checkpoint as ckpt
 
     dataset = build_dataset_from_args(args, args.data_dir)
-    loader = EvalLoader(dataset, batch_size=args.batch_size)
+    # multi-process: each rank writes the PNGs of its stride of the split
+    loader = EvalLoader(dataset, batch_size=args.batch_size,
+                        rank=jax.process_index(),
+                        world=jax.process_count())
 
     model = build_model_from_args(args, dataset.num_classes, deepsup=False)
     graph = model.graph

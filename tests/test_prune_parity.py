@@ -165,11 +165,15 @@ def test_mask_golden_vs_reference(global_percent, tmp_path):
 
 
 @pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
-def test_reference_consumes_our_pruned_artifacts(tmp_path, rng):
+@pytest.mark.parametrize("head", ["deeplabv3", "deeplabv3p", "psp"])
+def test_reference_consumes_our_pruned_artifacts(head, tmp_path, rng):
     """Our channel_cfg.pth + pruned.pth rebuild and load through the
     reference's init_pruned_model + load_model, and the torch forward of
     that model matches our pruned graph's forward — certifying the
-    surgery artifacts end-to-end in the reverse direction."""
+    surgery artifacts end-to-end in the reverse direction.  Parametrized
+    over the head families whose concat topologies stress the in-mask
+    splicing differently: ASPP concat (v3), + low-level decoder concat
+    (v3+), PPM multi-branch concat (psp)."""
     import torch
     pruners = _import_reference_pruners()
     from pruners.channel_pruner import init_pruned_model
@@ -177,14 +181,14 @@ def test_reference_consumes_our_pruned_artifacts(tmp_path, rng):
     import networks
 
     torch.manual_seed(0)
-    ref_full = networks.deeplabv3.Seg_Model(
+    ref_full = getattr(networks, head).Seg_Model(
         backbone="resnet50", backbone_para=dict(BPARA, pretrained=False),
         model_para={}, num_classes=19, align_corner=True, criterion=None,
         deepsup=False)
     ref_full.eval()
     init_sd = ref_full.state_dict()
 
-    model = build_model("deeplabv3", backbone="resnet50",
+    model = build_model(head, backbone="resnet50",
                         backbone_para=dict(BPARA), num_classes=19,
                         align_corner=True, deepsup=False)
     params, state, report = torch_state_dict_to_graph(model.graph,
@@ -212,7 +216,7 @@ def test_reference_consumes_our_pruned_artifacts(tmp_path, rng):
     # train.py --channel-cfg path); torch>=2.6 defaults weights_only=True
     # and our artifacts pass it
     torch.manual_seed(1)  # different init: weights must all be overwritten
-    ref_pruned = networks.deeplabv3.Seg_Model(
+    ref_pruned = getattr(networks, head).Seg_Model(
         backbone="resnet50", backbone_para=dict(BPARA, pretrained=False),
         model_para={}, num_classes=19, align_corner=True, criterion=None,
         deepsup=False)
