@@ -72,6 +72,9 @@ def get_parser() -> argparse.ArgumentParser:
                    help="torch backbone checkpoint (.pth) to convert; "
                         "'auto' resolves via the path registry")
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--metrics-file", type=str, default=None,
+                   help="append JSONL training metrics (one line per log "
+                        "window) for external dashboards")
     p.add_argument("--compact-batches", type=str2bool, default=True,
                    help="ship uint8 batches and normalize / expand "
                         "weight maps on device (~6x less host->device "
@@ -231,7 +234,9 @@ def main(argv=None) -> int:
                      prune_type=args.prune_type,
                      compute_dtype=compute_dtype(args),
                      normalize=(dataset.mean, dataset.std),
-                     ignore_label=dataset.ignore_label)
+                     ignore_label=dataset.ignore_label,
+                     handle_signals=True,  # preemption grace: snapshot
+                     metrics_file=args.metrics_file)
 
     batches = device_batches(iter(loader), mesh, spatial > 1)
     try:

@@ -168,6 +168,12 @@ class TrainLoop:
     Mirrors reference train.py:227-288 structure (steps-based with
     save window) without the epoch/DataLoader machinery — the data source
     is any iterator of host batches.
+
+    Beyond the reference: a SIGTERM/SIGINT handler that finishes the
+    in-flight step, writes a snapshot, and returns cleanly — preemption
+    grace for TPU-VM/spot jobs (the reference's recovery story is a
+    manual --resume, SURVEY §5); and optional JSONL metrics
+    (``metrics_file``) one line per log window for external dashboards.
     """
     model: SegModel
     criterion: Criterion
@@ -183,6 +189,8 @@ class TrainLoop:
     compute_dtype: Any = jnp.float32
     normalize: Optional[tuple] = None  # (mean, std) for compact batches
     ignore_label: int = 255
+    handle_signals: bool = False  # SIGTERM/SIGINT -> snapshot + return
+    metrics_file: Optional[str] = None  # JSONL, one line per log window
 
     def run(self, state: TrainState, batches, rng: jax.Array,
             start_step: int = 0) -> TrainState:
@@ -191,34 +199,84 @@ class TrainLoop:
                                      compute_dtype=self.compute_dtype,
                                      normalize=self.normalize,
                                      ignore_label=self.ignore_label)
+        interrupted = {"sig": None}
+        restore = {}
+        if self.handle_signals:
+            import signal
+
+            def _on_signal(signum, frame):
+                interrupted["sig"] = signum
+                log.warning("signal %d: will snapshot and stop after the "
+                            "current step", signum)
+
+            for s in (signal.SIGTERM, signal.SIGINT):
+                try:
+                    restore[s] = signal.signal(s, _on_signal)
+                except ValueError:  # non-main thread
+                    break
+
         t0, last = time.time(), start_step
         # Device-resident loss scalars, fetched once per log window: a
         # per-step float() would force a host round trip every step and
         # stall dispatch pipelining (the reference's per-step guard,
         # train.py:260, is cheap on GPU but serializing on TPU).
         pending: list = []
-        for step in range(start_step, self.num_steps):
-            batch = next(batches)
-            rng, sub = jax.random.split(rng)
-            state, metrics = train_step(state, batch, sub)
-            pending.append(metrics["loss"])
-            if (step + 1) % self.log_every == 0 or step + 1 == self.num_steps:
-                losses = np.asarray(jnp.stack(pending))  # ONE host sync
-                if not np.isfinite(losses).all():  # NaN guard
-                    bad = step + 1 - len(losses) + int(
-                        np.argmin(np.isfinite(losses)))
-                    raise FloatingPointError(f"non-finite loss at step {bad}")
-                dt = time.time() - t0
-                sps = (step + 1 - last) / max(dt, 1e-9)
-                lr = float(self.lr_schedule(jnp.asarray(step)))
-                log.info("step %d/%d loss=%.4f (avg %.4f) lr=%.3e "
-                         "%.2f it/s", step + 1, self.num_steps,
-                         float(losses[-1]), float(losses.mean()), lr, sps)
-                t0, last = time.time(), step + 1
-                pending = []
-            in_window = (step + 1) >= self.save_steps
-            if self.snapshot_hook and (
-                    (in_window and (step + 1) % self.save_pred_every == 0)
-                    or step + 1 == self.num_steps):
-                self.snapshot_hook(state, step + 1)
+        metrics_f = open(self.metrics_file, "a") if self.metrics_file \
+            else None
+        try:
+            for step in range(start_step, self.num_steps):
+                batch = next(batches)
+                rng, sub = jax.random.split(rng)
+                state, metrics = train_step(state, batch, sub)
+                pending.append(metrics["loss"])
+                if ((step + 1) % self.log_every == 0
+                        or step + 1 == self.num_steps
+                        or interrupted["sig"] is not None):
+                    losses = np.asarray(jnp.stack(pending))  # ONE sync
+                    if not np.isfinite(losses).all():  # NaN guard
+                        bad = step + 1 - len(losses) + int(
+                            np.argmin(np.isfinite(losses)))
+                        raise FloatingPointError(
+                            f"non-finite loss at step {bad}")
+                    dt = time.time() - t0
+                    sps = (step + 1 - last) / max(dt, 1e-9)
+                    lr = float(self.lr_schedule(jnp.asarray(step)))
+                    log.info("step %d/%d loss=%.4f (avg %.4f) lr=%.3e "
+                             "%.2f it/s", step + 1, self.num_steps,
+                             float(losses[-1]), float(losses.mean()), lr,
+                             sps)
+                    if metrics_f is not None:
+                        import json
+                        metrics_f.write(json.dumps({
+                            "step": step + 1,
+                            "loss": float(losses[-1]),
+                            "loss_avg": float(losses.mean()),
+                            "lr": lr,
+                            "it_per_s": round(sps, 4),
+                            "time": time.time(),
+                        }) + "\n")
+                        metrics_f.flush()
+                    t0, last = time.time(), step + 1
+                    pending = []
+                in_window = (step + 1) >= self.save_steps
+                if self.snapshot_hook and (
+                        (in_window
+                         and (step + 1) % self.save_pred_every == 0)
+                        or step + 1 == self.num_steps):
+                    self.snapshot_hook(state, step + 1)
+                if interrupted["sig"] is not None:
+                    if self.snapshot_hook:
+                        self.snapshot_hook(state, step + 1)
+                    log.warning("stopped at step %d on signal %s; resume "
+                                "with --resume <snapshot> "
+                                "--resume-full-state true", step + 1,
+                                interrupted["sig"])
+                    break
+        finally:
+            if metrics_f is not None:
+                metrics_f.close()
+            if restore:
+                import signal
+                for s, h in restore.items():
+                    signal.signal(s, h)
         return state

@@ -231,3 +231,46 @@ def test_fused_loss_tail_matches_unfused(rng):
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
         s0.params, s1.params)
+
+
+def test_train_loop_signal_snapshot_and_metrics(rng, tmp_path):
+    """Preemption grace: a SIGTERM mid-run finishes the in-flight step,
+    writes a snapshot, and returns (instead of dying with no artifact —
+    the reference's recovery story is a manual --resume).  The JSONL
+    metrics file gets one line per log window."""
+    import json
+    import os
+    import signal
+
+    from dcfp_tpu.engine.trainer import TrainLoop
+
+    model = tiny_model()
+    params, bn_state = init_graph(model.graph, jax.random.key(0))
+    tx = build_optimizer(optim="sgd", learning_rate=0.05, num_steps=100)
+    crit = build_criterions("ce", ignore_label=255)
+    sched = poly_warmup_schedule(0.05, 100, 0.9, warmup=0)
+    snaps = []
+    metrics_path = str(tmp_path / "metrics.jsonl")
+    loop = TrainLoop(model=model, criterion=crit, tx=tx, num_steps=50,
+                     lr_schedule=sched, log_every=2,
+                     snapshot_hook=lambda st, step: snaps.append(step),
+                     handle_signals=True, metrics_file=metrics_path)
+
+    def batches():
+        i = 0
+        while True:
+            if i == 4:  # deliver the signal mid-run
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield make_batch(rng, n=2, hw=16)
+            i += 1
+
+    prev = signal.getsignal(signal.SIGTERM)
+    state = create_train_state(model, params, bn_state, tx)
+    state = loop.run(state, batches(), jax.random.key(3))
+    # stopped early, snapshotted at the stop step, handler restored
+    assert int(state.step) == 5
+    assert snaps and snaps[-1] == 5
+    assert signal.getsignal(signal.SIGTERM) is prev
+    lines = [json.loads(ln) for ln in open(metrics_path)]
+    assert lines and lines[0]["step"] == 2
+    assert all(np.isfinite(ln["loss"]) for ln in lines)
