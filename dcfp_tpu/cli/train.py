@@ -129,6 +129,11 @@ def device_batches(loader, mesh, spatial: bool):
 def main(argv=None) -> int:
     parser = get_parser()
     args = parser.parse_args(argv)
+    # the reference spells resampling --data-para '{"resample":true}'
+    # (datasets pass-through); honor both spellings — without this the
+    # build_dataset extra kwarg would silently override data_para
+    args.resample = bool(args.resample
+                         or args.data_para.get("resample", False))
     if args.balance == 2 and not args.resample:
         parser.error("--balance 2 (effective-number weights) needs the "
                      "sampled class id, which only --resample true "

@@ -97,7 +97,8 @@ class TrainLoader:
 
     def __init__(self, dataset, batch_size: int, seed: int = 0,
                  prefetch: int = 2, drop_last: bool = True,
-                 num_workers: int = 0, rank: int = 0, world: int = 1):
+                 num_workers: int = 0, rank: int = 0, world: int = 1,
+                 use_processes: Optional[bool] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
@@ -106,6 +107,12 @@ class TrainLoader:
         self.num_workers = num_workers
         self.rank = rank
         self.world = world
+        # auto: decode processes only help when there are cores for them
+        # — on a single-core host they just add fork + IPC overhead, so
+        # fall back to the prefetch thread there
+        import os
+        self.use_processes = (num_workers > 1 and (os.cpu_count() or 1) > 1
+                              if use_processes is None else use_processes)
         self._stop = threading.Event()
         self._procs: List = []
 
@@ -187,7 +194,7 @@ class TrainLoader:
             self.stop()
 
     def __iter__(self):
-        if self.num_workers > 1:
+        if self.use_processes and self.num_workers > 1:
             return self._mp_iter()
         if self.prefetch > 0:
             return self._thread_iter()

@@ -238,7 +238,8 @@ def test_train_loader_worker_invariance(cs_fixture):
         ds = CityscapesDataset(root, manifest, split="train",
                                crop_size=(32, 32), seed=3)
         loader = TrainLoader(ds, batch_size=2, seed=11,
-                             num_workers=num_workers)
+                             num_workers=num_workers,
+                             use_processes=num_workers > 1)
         it = iter(loader)
         out = [next(it) for _ in range(n)]
         loader.stop()
