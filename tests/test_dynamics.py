@@ -55,8 +55,17 @@ def make_batches(loss_type, n=2, hw=65, c=19, ignore=255):
     return batches
 
 
+# the two frameworks spell backbone configs differently (reference:
+# name string + pretrained flag; ours: explicit width), so a model
+# config carries both spellings
+DEFAULT_MODEL = dict(model_name="deeplabv3",
+                     ref_backbone="resnet50", ref_bpara=BPARA,
+                     our_backbone="resnet50", our_bpara=BPARA,
+                     model_para={}, align_corner=True, deepsup=True)
+
+
 def run_reference(loss_type, batches, warmup, snap_at=0, loss_para=None,
-                  channel_cfg=None, pruned_sd=None):
+                  channel_cfg=None, pruned_sd=None, model_cfg=None):
     import torch
     from loss.criterion import build_criterions as ref_build
     from optimizer import adjust_learning_rate
@@ -69,14 +78,17 @@ def run_reference(loss_type, batches, warmup, snap_at=0, loss_para=None,
     from pruners import dcfp_pruning
     import networks
 
+    cfg = dict(DEFAULT_MODEL, **(model_cfg or {}))
     dataset = types.SimpleNamespace(ignore_label=255, class_weights=None,
                                     num_classes=19)
     criterion = ref_build(loss_type, dataset, dict(loss_para or {}))
     torch.manual_seed(0)
-    model = networks.deeplabv3.Seg_Model(
-        backbone="resnet50", backbone_para=dict(BPARA, pretrained=False),
-        model_para={}, num_classes=19, align_corner=True,
-        criterion=criterion, deepsup=True)
+    model = getattr(networks, cfg["model_name"]).Seg_Model(
+        backbone=cfg["ref_backbone"],
+        backbone_para=dict(cfg["ref_bpara"], pretrained=False),
+        model_para=dict(cfg["model_para"]), num_classes=19,
+        align_corner=cfg["align_corner"], criterion=criterion,
+        deepsup=cfg["deepsup"])
     if channel_cfg is not None:
         # finetune-at-pruned-widths path (reference train.py:200-210):
         # shrink the architecture, then load the pruned checkpoint
@@ -109,7 +121,7 @@ def run_reference(loss_type, batches, warmup, snap_at=0, loss_para=None,
                    "weight": torch.from_numpy(b["label"]["weight"])}
         else:
             lab = torch.from_numpy(b["label"])
-        loss = model(img, lab, deepsup=True)
+        loss = model(img, lab, deepsup=cfg["deepsup"])
         losses.append(float(loss["loss"].detach()))
         loss["loss"].backward()
         eic.step(model)
@@ -121,12 +133,19 @@ def run_reference(loss_type, batches, warmup, snap_at=0, loss_para=None,
     return init_sd, sd_step1, losses, eic_step1
 
 
+def build_our_model(model_cfg=None):
+    cfg = dict(DEFAULT_MODEL, **(model_cfg or {}))
+    return build_model(cfg["model_name"], backbone=cfg["our_backbone"],
+                       backbone_para=dict(cfg["our_bpara"]),
+                       model_para=dict(cfg["model_para"]), num_classes=19,
+                       align_corner=cfg["align_corner"],
+                       deepsup=cfg["deepsup"])
+
+
 def run_ours(loss_type, batches, init_sd, warmup, snap_at=0,
-             loss_para=None, channel_cfg=None):
+             loss_para=None, channel_cfg=None, model_cfg=None):
     import dataclasses
-    model = build_model("deeplabv3", backbone="resnet50",
-                        backbone_para=dict(BPARA), num_classes=19,
-                        align_corner=True, deepsup=True)
+    model = build_our_model(model_cfg)
     if channel_cfg is not None:
         from dcfp_tpu.prune.pruner import apply_channel_cfg
         model = dataclasses.replace(
@@ -192,7 +211,9 @@ def test_training_dynamics_match_reference(loss_type, warmup, loss_para):
 
 def _assert_dynamics_match(loss_type, init_sd, sd_step1, ref_losses,
                            ref_eic, state1, our_losses, channel_cfg=None,
-                           min_shared=50):
+                           min_shared=50, model_cfg=None,
+                           bn_names=("backbone.bn1",
+                                     "backbone.layer3.0.bn1")):
     # Per-step loss trajectory (the training-dynamics proxy).  Step 0 is
     # a pure forward+loss from identical weights: tight.  Later steps
     # compound f32 accumulation-order differences chaotically through
@@ -235,9 +256,7 @@ def _assert_dynamics_match(loss_type, init_sd, sd_step1, ref_losses,
     # Step-1 parameters: the per-leaf UPDATE vectors (step1 - init) of
     # the two trainers must point the same way — cosine similarity.
     # (Raw closeness would pass trivially: one step barely moves weights.)
-    model = build_model("deeplabv3", backbone="resnet50",
-                        backbone_para=dict(BPARA), num_classes=19,
-                        align_corner=True, deepsup=True)
+    model = build_our_model(model_cfg)
     if channel_cfg is not None:
         import dataclasses
         from dcfp_tpu.prune.pruner import apply_channel_cfg
@@ -265,7 +284,7 @@ def _assert_dynamics_match(loss_type, init_sd, sd_step1, ref_losses,
     assert checked > 100, checked
 
     # BN running stats after step 1: bitwise-level agreement expected
-    for name in ["backbone.bn1", "backbone.layer3.0.bn1"]:
+    for name in bn_names:
         for key in ["mean", "var"]:
             np.testing.assert_allclose(
                 np.asarray(state1.bn_state[name][key]),
@@ -321,3 +340,49 @@ def test_training_dynamics_pruned_widths():
     _assert_dynamics_match(loss_type, init_sd, sd_step1, ref_losses,
                            ref_eic, state1, our_losses,
                            channel_cfg=result.channel_cfg)
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+def test_training_dynamics_hrnet():
+    """HRNetV2-W48 training-dynamics golden (simple head): the dense
+    multi-resolution fusion lattice is the BN-heaviest model in the
+    family (307 BN layers) — trajectory/EIC/update/BN parity here
+    certifies the backbone the other goldens don't touch."""
+    model_cfg = dict(model_name="simple",
+                     ref_backbone="hrnetv2w48",
+                     ref_bpara={},
+                     our_backbone="hrnetv2w48",
+                     our_bpara={"width": 48},
+                     model_para={"in_channels": [720, 720]},
+                     align_corner=False, deepsup=False)
+    batches = make_batches("ce", hw=64)
+    init_sd, sd_step1, ref_losses, ref_eic = run_reference(
+        "ce", batches, 0, 0, None, model_cfg=model_cfg)
+    state1, our_losses = run_ours("ce", batches, init_sd, 0, 0, None,
+                                  model_cfg=model_cfg)
+    _assert_dynamics_match("ce", init_sd, sd_step1, ref_losses, ref_eic,
+                           state1, our_losses, model_cfg=model_cfg,
+                           min_shared=200,
+                           bn_names=("backbone.bn1",
+                                     "backbone.stage3.0.branches.0.0.bn1"))
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+def test_training_dynamics_combined_loss():
+    """Comma-joined criterion ('ce,ohem' -> summed losses, reference
+    criterion.py:30-45 CombinedCriterion) through the full train step.
+    (The 'ce,gsrl' combo is unrunnable in the reference itself: its
+    CriterionDSN list branch passes the {'ori','weight'} dict straight
+    to torch CE — criterion.py:63-68.)"""
+    import torch
+    from unittest import mock
+    batches = make_batches("ce")  # plain labels satisfy both parts
+    loss_para = {"ohem_thres": 0.05, "ohem_keep": 2000}
+    with mock.patch.object(torch.Tensor, "cuda",
+                           lambda self, *a, **k: self):  # ohem.py:76
+        init_sd, sd_step1, ref_losses, ref_eic = run_reference(
+            "ce,ohem", batches, 0, 0, loss_para)
+    state1, our_losses = run_ours("ce,ohem", batches, init_sd, 0, 0,
+                                  loss_para)
+    _assert_dynamics_match("ce,ohem", init_sd, sd_step1, ref_losses,
+                           ref_eic, state1, our_losses)
