@@ -58,6 +58,15 @@ def get_parser() -> argparse.ArgumentParser:
                         "need the regular jit path — like the "
                         "reference's fixed-shape TRT engine")
     p.add_argument("--aot-path", type=str, default=None)
+    p.add_argument("--pipeline", type=str2bool, default=False,
+                   help="throughput mode for whole-image ss eval: keep "
+                        "the H2D copy, forward, argmax and confusion "
+                        "update on device with NO per-image host sync "
+                        "(the protocol loop brackets each image with a "
+                        "host fetch, reference evaluate.py:327-337 — "
+                        "over a tunneled chip that floors FPS at the "
+                        "round-trip latency).  mIoU is identical; FPS "
+                        "becomes the pipelined loop's wall-clock")
     p.add_argument("--bucket-quantum", type=int, default=0,
                    help="pad inputs up to multiples of this so variable-"
                         "resolution val sets compile a bounded program "
@@ -191,7 +200,8 @@ def main(argv=None) -> int:
         dilation_ratio=args.dilation_ratio,
         save_predict_dir=predict_dir,
         cmap=getattr(dataset, "CMAP", None),
-        result_file=result_file, result_tag=tag)
+        result_file=result_file, result_tag=tag,
+        pipeline=args.pipeline)
     print(f"meanIU {result['meanIU']:.4f}  meanP {result['meanP']:.4f}  "
           f"meanR {result['meanR']:.4f}  FPS {result['fps']:.2f}")
     return 0

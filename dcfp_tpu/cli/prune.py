@@ -57,6 +57,13 @@ def get_parser() -> argparse.ArgumentParser:
                         "(TPU MXU lane width; 1 = reference behavior). "
                         "Measured +21%% deploy throughput at equal FLOPs")
     p.add_argument("--flops-input-size", type=str, default="512,512")
+    p.add_argument("--trace", type=str, default="ir",
+                   choices=("ir", "jaxpr", "verify"),
+                   help="channel-topology derivation: declared layer "
+                        "graph (ir), abstract jaxpr evaluation of the "
+                        "forward (jaxpr — the analog of the reference's "
+                        "autograd walk, channel_pruner.py:501-737), or "
+                        "both with an exact-agreement gate (verify)")
     p.add_argument("--export-torch", type=str2bool, default=False,
                    help="also write pruned.pth + channel_cfg.pth in the "
                         "reference's torch formats, consumable by its "
@@ -94,7 +101,8 @@ def main(argv=None) -> int:
         prune_ratio=args.prune_ratio, layer_keep=args.layer_keep,
         except_start_keys=("conv_deepsup",), input_hw=hw,
         start_percent=args.start_global_percent,
-        step=args.step_global_percent, channel_align=args.channel_align)
+        step=args.step_global_percent, channel_align=args.channel_align,
+        trace=args.trace)
 
     os.makedirs(args.save_path, exist_ok=True)
     pruned_path = os.path.join(args.save_path, "pruned.msgpack")

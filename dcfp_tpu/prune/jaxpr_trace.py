@@ -407,3 +407,40 @@ def trace_topology_jaxpr(graph, params, state,
                     norm_conv=norm_conv, conv_norm=conv_norm,
                     in_segments=in_segments,
                     output_spaces=sorted(output_spaces))
+
+
+def topology_mismatches(t_a: Topology, t_b: Topology) -> List[str]:
+    """Compare two topologies up to space-id renaming; return a list of
+    human-readable mismatch descriptions (empty = exact agreement).
+
+    Space ids are representative-elect (union-find roots), so identity is
+    the frozen set of member convs, as in tests/test_jaxpr_trace.py."""
+    def space_key(topo, space):
+        return frozenset(topo.spaces[space])
+
+    out: List[str] = []
+    if set(t_a.conv_space) != set(t_b.conv_space):
+        out.append("conv inventory differs: %s" % sorted(
+            set(t_a.conv_space) ^ set(t_b.conv_space)))
+        return out
+    groups_a = {frozenset(v) for v in t_a.spaces.values()}
+    groups_b = {frozenset(v) for v in t_b.spaces.values()}
+    if groups_a != groups_b:
+        out.append("coupling groups differ: %s" % [
+            sorted(g) for g in groups_a ^ groups_b])
+    if t_a.norm_conv != t_b.norm_conv:
+        diff = {k for k in set(t_a.norm_conv) | set(t_b.norm_conv)
+                if t_a.norm_conv.get(k) != t_b.norm_conv.get(k)}
+        out.append("BN pairing differs at: %s" % sorted(diff))
+    for conv in sorted(t_a.conv_space):
+        segs_a = [(None if s.space is None else space_key(t_a, s.space),
+                   s.size) for s in t_a.in_segments[conv]]
+        segs_b = [(None if s.space is None else space_key(t_b, s.space),
+                   s.size) for s in t_b.in_segments[conv]]
+        if segs_a != segs_b:
+            out.append("input segmentation differs at conv %s" % conv)
+    outs_a = {space_key(t_a, s) for s in t_a.output_spaces}
+    outs_b = {space_key(t_b, s) for s in t_b.output_spaces}
+    if outs_a != outs_b:
+        out.append("protected output spaces differ")
+    return out

@@ -262,12 +262,12 @@ class ChannelPruner:
 
     # -- the full pipeline (channel_pruner.py:967-990 prune_model) --------------
     def prune_model(self, graph: Graph, params, state,
-                    except_start_keys: Optional[Sequence[str]] = None
-                    ) -> PruneResult:
+                    except_start_keys: Optional[Sequence[str]] = None,
+                    topology: Optional[Topology] = None) -> PruneResult:
         if except_start_keys:
             self.except_start_keys = (list(self.except_start_keys)
                                       + list(except_start_keys))
-        topo = trace_topology(graph)
+        topo = topology if topology is not None else trace_topology(graph)
         masks = self.space_masks(graph, topo)
         total = sum(m.size for m in masks.values())
         kept = sum(int(m.sum()) for m in masks.values())

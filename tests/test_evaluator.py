@@ -313,3 +313,37 @@ def test_mesh_sliding_and_ms_match_single(rng, shard, n_data, n_spatial):
     m1 = np.asarray(single.predict_multiscale(img, tile, **kw))
     m2 = np.asarray(meshed.predict_multiscale(img, tile, **kw))
     np.testing.assert_allclose(m2, m1, rtol=1e-5, atol=1e-6)
+
+
+def test_pipelined_eval_matches_protocol_loop(rng, tmp_path):
+    """Throughput-mode eval (device-resident confusion, no per-image
+    host sync) must produce a bit-identical confusion matrix / meanIU
+    to the protocol loop, including ignore-label pixels, align-corner
+    padding and the small-loader warmup path."""
+    g = pointwise_model()
+    p = make_predictor(g)
+
+    def loader():
+        r = np.random.default_rng(7)
+        for i in range(9):
+            label = r.integers(0, 6, (1, 33, 45))
+            label[label == 5] = 255  # exercise ignore handling
+            yield {"img": r.standard_normal((1, 33, 45, 3),
+                                            dtype=np.float32),
+                   "label": label,
+                   "img_meta": [{"name": f"im{i}"}]}
+
+    res_proto = evaluate(p, loader(), num_classes=6, whole=True,
+                         align_corner=True, fps_warmup=2)
+    res_pipe = evaluate(p, loader(), num_classes=6, whole=True,
+                        align_corner=True, fps_warmup=2, pipeline=True)
+    np.testing.assert_array_equal(res_pipe["confusion"],
+                                  res_proto["confusion"])
+    assert res_pipe["meanIU"] == res_proto["meanIU"]
+    assert res_pipe["fps"] > 0
+
+    # modes outside the fast path fall back to the protocol loop
+    res_fb = evaluate(p, loader(), num_classes=6, whole=True,
+                      align_corner=True, fps_warmup=2, pipeline=True,
+                      scales=(0.5, 1.0))
+    assert res_fb["confusion"].sum() == res_proto["confusion"].sum()

@@ -104,3 +104,44 @@ def test_jaxpr_tracer_drives_the_pruner():
     out, _ = graph_apply(res_jx.graph, res_jx.params, res_jx.state,
                          {"image": x})
     assert out["pred"].shape == (1, 33, 33, 5)
+
+
+def test_prune_search_trace_modes_agree():
+    """prune_to_flops(trace='verify') gates on exact IR/jaxpr agreement,
+    and trace='jaxpr' yields the identical pruned architecture."""
+    from dcfp_tpu.graph.apply import init_graph
+    from dcfp_tpu.prune.eic import prunable_bn_names
+    from dcfp_tpu.prune.search import prune_to_flops
+
+    def build():
+        return build_model("deeplabv3", backbone="resnet50",
+                           backbone_para={"os": 32, "mg_unit": [1, 1, 1],
+                                          "inplanes": 64},
+                           num_classes=5, align_corner=False,
+                           deepsup=True)
+
+    train_g = build().graph
+    deploy_g = build_model("deeplabv3", backbone="resnet50",
+                           backbone_para={"os": 32, "mg_unit": [1, 1, 1],
+                                          "inplanes": 64},
+                           num_classes=5, align_corner=False,
+                           deepsup=False).graph
+    params, state = init_graph(train_g, jax.random.key(0))
+    r = np.random.default_rng(3)
+    eic = {bn: r.uniform(0, 1, train_g.node(bn).attrs["channels"]
+                         ).astype(np.float32)
+           for bn in prunable_bn_names(train_g)}
+
+    results = {}
+    for mode in ("verify", "jaxpr"):
+        res, gp, report = prune_to_flops(
+            train_g, deploy_g, params, state, eic, prune_ratio=0.5,
+            input_hw=(64, 64), trace=mode)
+        results[mode] = (res, gp, report["flops_ratio"])
+
+    res_v, gp_v, fr_v = results["verify"]
+    res_j, gp_j, fr_j = results["jaxpr"]
+    assert gp_v == gp_j and fr_v == fr_j
+    for node in res_v.graph.conv_nodes():
+        assert (res_j.graph.node(node.name).attrs["out_ch"]
+                == node.attrs["out_ch"]), node.name
