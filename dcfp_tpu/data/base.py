@@ -266,6 +266,13 @@ class BaseDataset:
             raise FileNotFoundError(datafile["label"])
         label = self.id2trainId(label)
         if self.split == "val":
+            if self.compact:
+                # raw uint8 RGB + uint8 labels: normalization happens on
+                # device (Predictor.prep_raw) — 4x less host->device
+                # traffic than the classic f32 item, bitwise-equal metrics
+                return {"img": np.ascontiguousarray(image[:, :, ::-1]),
+                        "label": label.astype(np.uint8).copy(),
+                        "img_meta": img_meta}
             return {"img": self.input_transform(image).copy(),
                     "label": label.astype(np.int64).copy(),
                     "img_meta": img_meta}

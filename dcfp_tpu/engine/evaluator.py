@@ -176,12 +176,13 @@ class Predictor:
 
     def __init__(self, graph, params, state, dtype=jnp.float32, *,
                  bucket_quantum: int = 0, align_corner: bool = False,
-                 mesh=None, shard: str = "data"):
+                 mesh=None, shard: str = "data", normalize=None):
         self.graph = graph
         self.dtype = dtype
         self.bucket_quantum = int(bucket_quantum)
         self.align_corner = bool(align_corner)
         self.mesh = mesh
+        self.normalize = normalize
 
         def fwd(params, state, image):
             outs, _ = graph_apply(graph, params, state,
@@ -282,6 +283,34 @@ class Predictor:
         must match (batch, tile_h, tile_w, 3); the overlap scatter-add
         still runs in a jitted program on device."""
         self._aot_tile = (run, aot_params)
+
+    # -- raw uint8 input (compact eval items) -------------------------------
+    def prep_raw(self, image: jnp.ndarray, valid_hw) -> jnp.ndarray:
+        """Normalize a raw uint8 RGB image on device: f32 ``/255 - mean
+        / std`` — the identical IEEE f32 ops the host input_transform
+        runs (data/base.py), so results are bitwise-equal — then zero
+        pixels beyond ``valid_hw``, reproducing the protocol's
+        pad-with-zeros-AFTER-normalize semantics (pad_inf / bucket
+        padding happen on the already-normalized image in the classic
+        path).  Keeping the wire format uint8 cuts H2D traffic 4x."""
+        if self.normalize is None:
+            raise ValueError("Predictor(normalize=(mean, std)) is "
+                             "required for uint8 (compact) eval items")
+        if not hasattr(self, "_prep_jit"):
+            mean, std = self.normalize
+            mean = jnp.asarray(mean, jnp.float32)
+            std = jnp.asarray(std, jnp.float32)
+
+            @jax.jit
+            def prep(img, vh, vw):
+                x = img.astype(jnp.float32) / 255.0
+                x = (x - mean) / std
+                rows = jnp.arange(x.shape[1])[None, :, None, None]
+                cols = jnp.arange(x.shape[2])[None, None, :, None]
+                return jnp.where((rows < vh) & (cols < vw), x, 0.0)
+
+            self._prep_jit = prep
+        return self._prep_jit(image, valid_hw[0], valid_hw[1])
 
     # -- input staging -------------------------------------------------------
     def device_put(self, image: np.ndarray) -> jnp.ndarray:
@@ -531,7 +560,16 @@ def evaluate(predictor: Predictor, loader: Iterable, *, num_classes: int,
         # tiny sets: still report an FPS instead of warming up everything
         fps_warmup = min(fps_warmup, max(len(loader) - 1, 0))
     for idx, batch in enumerate(loader):
-        image = batch["img"]  # NHWC float32
+        image = batch["img"]  # NHWC float32 (or raw uint8 compact items)
+        if image.dtype == np.uint8:
+            if predictor.normalize is None:
+                raise ValueError("uint8 (compact) eval items need "
+                                 "Predictor(normalize=(mean, std))")
+            mean, std = predictor.normalize
+            # the identical f32 op sequence as data.base.input_transform
+            image = np.asarray(image, np.float32) / 255.0
+            image -= np.asarray(mean, np.float32)
+            image /= np.asarray(std, np.float32)
         label = batch.get("label")
         metas = batch.get("img_meta", [{}] * image.shape[0])
         orig_hw = image.shape[1:3]
@@ -700,9 +738,15 @@ def evaluate_pipelined(predictor: Predictor, loader: Iterable, *,
                 image = np.pad(np.asarray(image),
                                ((0, 0), (0, bh - h), (0, bw - w), (0, 0)))
         dev = jnp.asarray(np.asarray(image))  # async H2D
+        if dev.dtype == jnp.uint8:
+            # compact item: raw uint8 over the wire (4x less H2D),
+            # normalized + pad-masked on device, bitwise-equal logits
+            dev = predictor.prep_raw(dev, size_scale)
         out = predictor.predict_whole_labels(dev)
         out = out[:, :size_scale[0], :size_scale[1]]
-        gt = jnp.asarray(np.asarray(label).astype(np.int32))
+        lab = np.asarray(label)
+        gt = jnp.asarray(lab if lab.dtype == np.uint8
+                         else lab.astype(np.int32))
         cm_dev = confusion_update_device(cm_dev, out, gt,
                                          num_classes=num_classes,
                                          ignore_label=ignore_label)

@@ -347,3 +347,49 @@ def test_pipelined_eval_matches_protocol_loop(rng, tmp_path):
                       align_corner=True, fps_warmup=2, pipeline=True,
                       scales=(0.5, 1.0))
     assert res_fb["confusion"].sum() == res_proto["confusion"].sum()
+
+
+def test_compact_uint8_eval_matches_f32(rng):
+    """Raw uint8 items (device-side normalize, prep_raw) must reproduce
+    the classic host-normalized f32 path bit-for-bit, in both the
+    protocol loop and the pipelined loop, including align-corner
+    padding (prep masks pad pixels to 0.0 AFTER normalize)."""
+    g = pointwise_model()
+    params, state = init_graph(g, jax.random.key(0))
+    mean = (0.485, 0.456, 0.406)
+    std = (0.229, 0.224, 0.225)
+    p = Predictor(g, params, state, normalize=(mean, std))
+
+    r0 = np.random.default_rng(11)
+    raws = [r0.integers(0, 256, (1, 33, 45, 3)).astype(np.uint8)
+            for _ in range(5)]
+    labels = [r0.integers(0, 6, (1, 33, 45)) for _ in range(5)]
+    for lb in labels:
+        lb[lb == 5] = 255
+
+    def classic_loader():
+        for i, raw in enumerate(raws):
+            img = raw.astype(np.float32) / 255.0
+            img -= np.asarray(mean, np.float32)
+            img /= np.asarray(std, np.float32)
+            yield {"img": img, "label": labels[i],
+                   "img_meta": [{"name": f"im{i}"}]}
+
+    def compact_loader():
+        for i, raw in enumerate(raws):
+            yield {"img": raw, "label": labels[i].astype(np.uint8),
+                   "img_meta": [{"name": f"im{i}"}]}
+
+    kw = dict(num_classes=6, whole=True, align_corner=True, fps_warmup=1)
+    want = evaluate(p, classic_loader(), **kw)
+    got_proto = evaluate(p, compact_loader(), **kw)
+    got_pipe = evaluate(p, compact_loader(), pipeline=True, **kw)
+    np.testing.assert_array_equal(got_proto["confusion"],
+                                  want["confusion"])
+    np.testing.assert_array_equal(got_pipe["confusion"],
+                                  want["confusion"])
+
+    # uint8 items without normalize -> explicit error
+    p2 = Predictor(g, params, state)
+    with pytest.raises(ValueError):
+        evaluate(p2, compact_loader(), **kw)

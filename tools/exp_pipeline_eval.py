@@ -8,7 +8,12 @@ on device with no per-image sync.  This script decodes two full-res
 synthetic val images once and replays them N times so the comparison
 isolates the dispatch discipline from host PNG decode.
 
-Usage: python tools/exp_pipeline_eval.py [N_IMAGES] [--pruned]
+Usage: python tools/exp_pipeline_eval.py [N_IMAGES] [--compact]
+
+--compact additionally measures raw-uint8 items (device-side
+normalize): the classic f32 item is 24 MB image + 8 MB int32 label per
+1024x2048 frame — over a ~45 MB/s tunnel that is ~0.7 s/image of pure
+transfer; compact is 6 + 2 MB.
 """
 
 from __future__ import annotations
@@ -34,9 +39,10 @@ from dcfp_tpu.models.registry import build_model
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-    os.environ.setdefault("DCFP_CS_ROOT", "/tmp/cs_hw")
-    os.environ.setdefault("DCFP_CS_VAL_LIST", "/tmp/cs_hw/val.lst")
-    ds = build_dataset("CS", "val", crop_size=(769, 769))
+    root = os.environ.get("DCFP_CS_ROOT", "/tmp/cs_hw")
+    val_list = os.environ.get("DCFP_CS_VAL_LIST",
+                              os.path.join(root, "val.lst"))
+    ds = build_dataset("CS", root, val_list, split="val")
     items = [ds[i] for i in range(min(2, len(ds)))]
     print(f"decoded {len(items)} val images "
           f"{items[0]['img'].shape}", flush=True)
@@ -71,6 +77,32 @@ def main() -> int:
 
     np.testing.assert_array_equal(res_p["confusion"], res_q["confusion"])
     print("confusion matrices identical", flush=True)
+
+    if "--compact" in sys.argv:
+        dsc = build_dataset("CS", root, val_list, split="val",
+                            compact=True)
+        items_c = [dsc[i] for i in range(min(2, len(dsc)))]
+        predc = Predictor(model.graph, params, state,
+                          dtype=jnp.bfloat16, align_corner=True,
+                          normalize=(dsc.mean, dsc.std))
+
+        def loader_c():
+            for i in range(n):
+                it = items_c[i % len(items_c)]
+                yield {"img": it["img"][None],
+                       "label": it["label"][None],
+                       "img_meta": [it["img_meta"]]}
+
+        t0 = time.perf_counter()
+        res_c = evaluate_pipelined(predc, loader_c(), num_classes=19,
+                                   align_corner=True, fps_warmup=5)
+        t_c = time.perf_counter() - t0
+        print(f"pipelined+compact: FPS {res_c['fps']:.2f}  "
+              f"wall {t_c:.1f}s  meanIU {res_c['meanIU']:.4f}",
+              flush=True)
+        np.testing.assert_array_equal(res_p["confusion"],
+                                      res_c["confusion"])
+        print("compact confusion identical", flush=True)
     return 0
 
 
