@@ -34,8 +34,8 @@ if _cache and _cache != "0":
 
 
 def main():
-    from dcfp_tpu.engine.deploy import aot_compile, benchmark, \
-        make_inference_fn
+    from dcfp_tpu.engine.deploy import aot_compile_split, benchmark, \
+        make_split_inference_fn
     from dcfp_tpu.graph.apply import init_graph
     from dcfp_tpu.models.registry import build_model
     from dcfp_tpu.prune.eic import prunable_bn_names
@@ -76,10 +76,13 @@ def main():
         b_nchw = (batch,) + nchw[1:]
         b_image = (image if batch == 1 else
                    jnp.asarray(np.repeat(np.asarray(image), batch, 0)))
-        fn, dev_params = make_inference_fn(graph, p, s, dtype=jnp.bfloat16,
-                                           fold_bn=True, output="argmax",
-                                           input_format="nchw")
-        compiled = aot_compile(fn, dev_params, b_nchw)
+        # split compile: the Pallas tail lives in its own executable so
+        # the conv body keeps XLA's tiled strategy (deploy.py)
+        body_fn, tail_fn, dev_params = make_split_inference_fn(
+            graph, p, s, dtype=jnp.bfloat16, fold_bn=True,
+            output="argmax", input_format="nchw")
+        compiled = aot_compile_split(body_fn, tail_fn, dev_params, b_nchw,
+                                     input_format="nchw")
         stats = benchmark(lambda img: compiled(dev_params, img),
                           b_image, warmup=warmup, iters=iters)
         return stats["images_per_sec"]

@@ -18,7 +18,7 @@ equivalents:
 from __future__ import annotations
 
 import time
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +77,34 @@ def fold_batchnorm(graph: Graph, params: Dict, state: Dict
 
 
 _ZERO_PRESERVING = {"relu", "identity", "maxpool", "dropout"}
+
+
+def insert_barriers(graph: Graph, after: "Sequence[str]") -> Graph:
+    """Splice an ``optimization_barrier`` node after each named node,
+    forcing XLA to materialize that value instead of fusing its producer
+    chain into every consumer.  Exact — the barrier only stops fusion.
+
+    Measured outcome (tools/exp_hrnet.py, HRNet-W48 @1025x2049): barriers
+    after the 4-branch upsample+concat and before the head convs were
+    e2e NEUTRAL — the head slowness was the Pallas-tail-in-same-program
+    conv-strategy loss, which barriers do not undo (the fix is the
+    split-executable deploy, :func:`make_split_inference_fn`).  Kept as
+    a diagnostic tool for fusion experiments."""
+    from dcfp_tpu.graph.ir import Node
+    g = graph.copy()
+    new_nodes: Dict[str, Node] = {}
+    barred = {name: f"{name}.barrier" for name in after}
+    for n in g.nodes.values():
+        if n.name not in barred and any(i in barred for i in n.inputs):
+            n = n.replace(inputs=tuple(barred.get(i, i)
+                                       for i in n.inputs))
+        new_nodes[n.name] = n
+        if n.name in barred:
+            bname = barred[n.name]
+            new_nodes[bname] = Node(bname, "barrier", (n.name,))
+    g.nodes = new_nodes
+    g.outputs = [barred.get(o, o) for o in g.outputs]
+    return g
 
 
 def pad_conv_out_channels(graph: Graph, params: Dict,
@@ -162,33 +190,38 @@ def _reroot_at(graph: Graph, seed: str, old_input: str) -> Graph:
     return g
 
 
-def make_inference_fn(graph: Graph, params: Dict, state: Dict, *,
-                      dtype=jnp.bfloat16, fold_bn: bool = True,
-                      output: str = "logits", fuse_tail: bool = True,
-                      pad_stem: int = 0, input_format: str = "nhwc",
-                      input_hw=None):
-    """Returns (fn, params) where fn(params, image) runs the deploy
-    forward.  ``output``: 'logits' (f32) or 'argmax' (uint8).
+def make_split_inference_fn(graph: Graph, params: Dict, state: Dict, *,
+                            dtype=jnp.bfloat16, fold_bn: bool = True,
+                            output: str = "logits", fuse_tail: bool = True,
+                            pad_stem: int = 0, input_format: str = "nhwc",
+                            input_hw=None):
+    """Returns (body_fn, tail_fn, dev_params).
 
-    With ``output='argmax'`` and a final bilinear-resize 'pred' node, the
-    upsample+argmax tail runs as one fused Pallas kernel — the upsampled
-    logits (HxWxC f32) are never materialized in HBM.
+    ``body_fn(params, image)`` runs the conv graph.  When
+    ``output='argmax'`` and the graph ends in a to-input bilinear-resize
+    'pred' node, ``body_fn`` returns the LOW-RES logits (NHWC, model
+    dtype) and ``tail_fn(logits, out_hw)`` runs the fused Pallas
+    upsample+argmax (``out_hw`` static under jit); otherwise ``tail_fn``
+    is None and ``body_fn`` returns the final output (f32 logits, or
+    uint8 labels for the unfused argmax fallback).
 
-    ``pad_stem``: zero-pad the deep-stem convs to this width (e.g. 128) —
-    exact, see :func:`pad_conv_out_channels`.
+    WHY two functions: compiling the Pallas tail in the SAME program as
+    the convs makes XLA abandon its spatially-tiled convolution strategy
+    for the whole conv chain feeding the custom call — measured on the
+    HRNet-W48 head @1025x2049: 18.0 ms fused in one program vs 7.1 ms
+    with the tail in its own executable (2.5x; tools/exp_hrnet2.py).
+    optimization_barrier between the convs and the custom call does NOT
+    restore it, nor does producing channel-major logits natively (via
+    dot_general or a Pallas classifier kernel — the operand constraint
+    propagates into the conv chain either way; tools/exp_hrnet3.py).
+    Compile the two parts separately (:func:`aot_compile_split`) and
+    chain the executables — the logits handoff stays on device and the
+    extra dispatch is ~free.
 
-    ``input_format`` selects the image layout fn expects (measured at
-    1025x2049 on v5e, tools/exp_deploy.py):
-
-    * ``'nhwc'``  — (N, H, W, C); XLA-native path.  23.71 ms e2e pruned.
-    * ``'nchw'``  — (N, C, H, W), the reference deploy engine's own input
-      format (totrt.py:113): the stem conv runs as one-hot decimation
-      matmuls (:func:`dcfp_tpu.ops.stem.conv3x3_s2_nchw`), dodging the
-      lane-padded thin-C layout.  23.39 ms e2e (+1.4%), argmax-exact.
-    * ``'phases'``— (N, 4C, Hp, Wp) stride-2 phase planes from
-      ``extract_stem_phases`` (host-side, numpy): the stem conv runs as
-      one Pallas kernel.  Requires static ``input_hw=(H, W)``.  e2e
-      neutral (23.68 ms) — prefer 'nchw' unless phases are precomputed.
+    The 2.5x is strategy, not numerics: the tiled convolutions round
+    bf16 differently at near-ties, so split-vs-fused label agreement is
+    ~0.995 rather than 1.0 on TPU (same class of deviation as the
+    reference's torch-vs-TRT-fp16 engines).
     """
     if input_format not in ("nhwc", "nchw", "phases"):
         raise ValueError(f"unknown input_format {input_format!r}")
@@ -226,7 +259,7 @@ def make_inference_fn(graph: Graph, params: Dict, state: Dict, *,
             run_graph.outputs = [node.inputs[0] if o == "pred" else o
                                  for o in run_graph.outputs]
 
-    def fn(p, image):
+    def body_fn(p, image):
         if stem is None:
             hw = image.shape[1:3]
             feed = {"image": image.astype(dtype)}
@@ -250,14 +283,76 @@ def make_inference_fn(graph: Graph, params: Dict, state: Dict, *,
         outs, _ = graph_apply(run_graph, p, state, feed, train=False,
                               input_hw=tuple(int(d) for d in hw))
         if tail_resize is not None:
-            from dcfp_tpu.ops.pallas_kernels import resize_argmax
-            logits = outs[tail_resize.inputs[0]]
-            return resize_argmax(logits, hw,
-                                 tail_resize.attrs["align_corners"])
+            return outs[tail_resize.inputs[0]]
         pred = outs["pred"]
         if output == "argmax":
             return jnp.argmax(pred, axis=-1).astype(jnp.uint8)
         return pred.astype(jnp.float32)
+
+    tail_fn = None
+    if tail_resize is not None:
+        ac = tail_resize.attrs["align_corners"]
+
+        def tail_fn(logits, out_hw):
+            from dcfp_tpu.ops.pallas_kernels import resize_argmax
+            return resize_argmax(logits, out_hw, ac)
+
+    return body_fn, tail_fn, dev_params
+
+
+def infer_out_hw(input_shape, input_format: str = "nhwc",
+                 input_hw=None) -> Tuple[int, int]:
+    """The full-resolution output size for a deploy input shape."""
+    if input_format == "phases":
+        return (int(input_hw[0]), int(input_hw[1]))
+    hw = (input_shape[2:4] if input_format == "nchw"
+          else input_shape[1:3])
+    return (int(hw[0]), int(hw[1]))
+
+
+def make_inference_fn(graph: Graph, params: Dict, state: Dict, *,
+                      dtype=jnp.bfloat16, fold_bn: bool = True,
+                      output: str = "logits", fuse_tail: bool = True,
+                      pad_stem: int = 0, input_format: str = "nhwc",
+                      input_hw=None):
+    """Returns (fn, params) where fn(params, image) runs the deploy
+    forward as ONE jittable program.  ``output``: 'logits' (f32) or
+    'argmax' (uint8).
+
+    With ``output='argmax'`` and a final bilinear-resize 'pred' node, the
+    upsample+argmax tail runs as a fused Pallas kernel — the upsampled
+    logits (HxWxC f32) are never materialized in HBM.  Prefer
+    :func:`make_split_inference_fn` + :func:`aot_compile_split` where a
+    single program is not required: one-program compilation costs the
+    conv chain XLA's tiled strategy (see make_split_inference_fn) —
+    measured 60.4 -> 49.3 ms e2e on HRNet-W48 @1025x2049.
+
+    ``pad_stem``: zero-pad the deep-stem convs to this width (e.g. 128) —
+    exact, see :func:`pad_conv_out_channels`.
+
+    ``input_format`` selects the image layout fn expects (measured at
+    1025x2049 on v5e, tools/exp_deploy.py):
+
+    * ``'nhwc'``  — (N, H, W, C); XLA-native path.
+    * ``'nchw'``  — (N, C, H, W), the reference deploy engine's own input
+      format (totrt.py:113): the stem conv runs as one-hot decimation
+      matmuls (:func:`dcfp_tpu.ops.stem.conv3x3_s2_nchw`), dodging the
+      lane-padded thin-C layout.  Argmax-exact.
+    * ``'phases'``— (N, 4C, Hp, Wp) stride-2 phase planes from
+      ``extract_stem_phases`` (host-side, numpy): the stem conv runs as
+      one Pallas kernel.  Requires static ``input_hw=(H, W)``.
+    """
+    body_fn, tail_fn, dev_params = make_split_inference_fn(
+        graph, params, state, dtype=dtype, fold_bn=fold_bn, output=output,
+        fuse_tail=fuse_tail, pad_stem=pad_stem, input_format=input_format,
+        input_hw=input_hw)
+    if tail_fn is None:
+        return body_fn, dev_params
+
+    def fn(p, image):
+        z = body_fn(p, image)
+        return tail_fn(z, infer_out_hw(image.shape, input_format,
+                                       input_hw))
 
     return fn, dev_params
 
@@ -272,6 +367,31 @@ def aot_compile(fn, params, input_shape: Tuple[int, ...],
     compiled = jax.jit(fn).lower(pspec, spec).compile()
     log.info("AOT compile took %.1fs", time.time() - t0)
     return compiled
+
+
+def aot_compile_split(body_fn, tail_fn, params,
+                      input_shape: Tuple[int, ...],
+                      input_dtype=jnp.float32,
+                      input_format: str = "nhwc", input_hw=None):
+    """Compile body and tail (from :func:`make_split_inference_fn`) as
+    SEPARATE executables and return ``run(params, image)`` chaining them.
+    The logits handoff stays on device; keeping the Pallas tail out of
+    the conv program preserves XLA's tiled conv strategy (2.5x on the
+    HRNet-W48 head — see make_split_inference_fn)."""
+    body_c = aot_compile(body_fn, params, input_shape, input_dtype)
+    if tail_fn is None:
+        return body_c
+    pspec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
+    zspec = jax.eval_shape(body_fn, pspec,
+                           jax.ShapeDtypeStruct(input_shape, input_dtype))
+    out_hw = infer_out_hw(input_shape, input_format, input_hw)
+    tail_c = jax.jit(lambda z: tail_fn(z, out_hw)).lower(zspec).compile()
+
+    def run(p, image):
+        return tail_c(body_c(p, image))
+
+    return run
 
 
 def export_serialized(fn, params, input_shape: Tuple[int, ...], path: str,
@@ -289,11 +409,44 @@ def export_serialized(fn, params, input_shape: Tuple[int, ...], path: str,
     log.info("serialized %d-byte executable to %s", len(blob), path)
 
 
+def export_serialized_split(body_fn, tail_fn, params,
+                            input_shape: Tuple[int, ...], path: str,
+                            input_dtype=jnp.float32,
+                            input_format: str = "nhwc",
+                            input_hw=None) -> None:
+    """Serialize a split deploy engine: the conv body to ``path`` and the
+    Pallas tail to ``path + '.tail'`` (absent when tail_fn is None)."""
+    from jax import export as jexport
+    export_serialized(body_fn, params, input_shape, path, input_dtype)
+    if tail_fn is None:
+        return
+    pspec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
+    zspec = jax.eval_shape(body_fn, pspec,
+                           jax.ShapeDtypeStruct(input_shape, input_dtype))
+    out_hw = infer_out_hw(input_shape, input_format, input_hw)
+    exported = jexport.export(jax.jit(lambda z: tail_fn(z, out_hw)))(zspec)
+    blob = exported.serialize()
+    with open(path + ".tail", "wb") as f:
+        f.write(blob)
+    log.info("serialized %d-byte tail executable to %s.tail",
+             len(blob), path)
+
+
 def load_serialized(path: str):
+    """Load a serialized deploy engine.  If a ``path + '.tail'`` part
+    exists (split export), returns the chained callable."""
     from jax import export as jexport
     with open(path, "rb") as f:
         exported = jexport.deserialize(f.read())
-    return exported.call
+    body = exported.call
+    tail_path = path + ".tail"
+    try:
+        with open(tail_path, "rb") as f:
+            tail = jexport.deserialize(f.read()).call
+    except FileNotFoundError:
+        return body
+    return lambda p, image: tail(body(p, image))
 
 
 # ---------------------------------------------------------------------------

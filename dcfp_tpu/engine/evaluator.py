@@ -152,7 +152,9 @@ class _CountCompiles:
         self._seen = set()
 
     def __call__(self, *args):
-        img = args[-1]
+        # last ARRAY positional arg (the split tail takes a trailing
+        # static out_hw tuple)
+        img = next(a for a in reversed(args) if hasattr(a, "shape"))
         self._seen.add((tuple(img.shape), str(img.dtype)))
         return self._fn(*args)
 
@@ -230,15 +232,27 @@ class Predictor:
             # fused upsample-argmax tail) — exact for inference and
             # measured 1.7x the raw eval graph (32.7 vs 57 ms at
             # 1024x2048 R50); the logits path keeps the raw graph the
-            # probability-averaging modes need
-            from dcfp_tpu.engine.deploy import make_inference_fn
-            afn, adev = make_inference_fn(graph, params, state,
-                                          dtype=dtype, fold_bn=True,
-                                          output="argmax")
-            self._afn = _CountCompiles(jax.jit(afn))
+            # probability-averaging modes need.  Body and Pallas tail
+            # run as separate programs so the conv chain keeps XLA's
+            # tiled strategy (deploy.make_split_inference_fn).
+            from dcfp_tpu.engine.deploy import make_split_inference_fn
+            abody, atail, adev = make_split_inference_fn(
+                graph, params, state, dtype=dtype, fold_bn=True,
+                output="argmax")
+            self._afn = _CountCompiles(jax.jit(abody))
+            self._atail = (_CountCompiles(
+                jax.jit(atail, static_argnums=1))
+                if atail is not None else None)
             self._argmax_params = adev
-            self._fwd_argmax = (
-                lambda p, s, image: self._afn(self._argmax_params, image))
+
+            def _fwd_argmax(p, s, image):
+                z = self._afn(self._argmax_params, image)
+                if self._atail is None:
+                    return z
+                return self._atail(z, tuple(int(d)
+                                            for d in image.shape[1:3]))
+
+            self._fwd_argmax = _fwd_argmax
 
     def _fitted_sharding(self, shape):
         """The image sharding with axes DROPPED where the dimension is
@@ -258,8 +272,9 @@ class Predictor:
         """Compiled-program count across all entry points (the
         bucketing discipline metric)."""
         total = 0
-        for fn in (self._fwd, self._fwd_argmax, getattr(self, "_afn",
-                                                        None)):
+        for fn in (self._fwd, self._fwd_argmax,
+                   getattr(self, "_afn", None),
+                   getattr(self, "_atail", None)):
             if isinstance(fn, _CountCompiles):
                 total += fn.count
         # each cached sliding program is compiled for exactly one

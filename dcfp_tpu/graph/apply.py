@@ -251,6 +251,11 @@ def graph_apply(graph: Graph, params: Params, state: State,
                          drop_rngs.get(node.name), train)
         elif op == "identity":
             y = vals[node.inputs[0]]
+        elif op == "barrier":
+            # deploy-time materialization point: stops XLA from fusing
+            # the producer into every consumer tile (see
+            # engine/deploy.insert_barriers for when this wins)
+            y = jax.lax.optimization_barrier(vals[node.inputs[0]])
         else:
             raise NotImplementedError(f"op {op!r} ({node.name})")
 

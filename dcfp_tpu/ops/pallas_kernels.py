@@ -66,8 +66,8 @@ def _kernel(z_ref, wh_ref, wwt_ref, out_ref, val_ref, idx_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "align_corners",
                                              "interpret"))
-def _resize_argmax_hwc(z, out_hw, align_corners, interpret):
-    h, w, c = z.shape
+def _resize_argmax_cm(z_cm, out_hw, align_corners, interpret):
+    c, h, w = z_cm.shape
     out_h, out_w = out_hw
     # Interp matrices always f32 (resize_bilinear computes in f32; using
     # bf16 weights would let labels near close logits diverge from the
@@ -76,8 +76,8 @@ def _resize_argmax_hwc(z, out_hw, align_corners, interpret):
     wh = jnp.asarray(_interp_matrix(h, out_h, align_corners), jnp.float32)
     wwt = jnp.asarray(_interp_matrix(w, out_w, align_corners),
                       jnp.float32).T
-    z_dtype = jnp.bfloat16 if z.dtype == jnp.bfloat16 else jnp.float32
-    z_cm = jnp.transpose(z, (2, 0, 1)).astype(z_dtype)  # (C, h, w)
+    z_dtype = jnp.bfloat16 if z_cm.dtype == jnp.bfloat16 else jnp.float32
+    z_cm = z_cm.astype(z_dtype)
 
     grid = (pl.cdiv(out_h, _ROW_TILE),)
     return pl.pallas_call(
@@ -100,6 +100,11 @@ def _resize_argmax_hwc(z, out_hw, align_corners, interpret):
         ],
         interpret=interpret,
     )(z_cm, wh, wwt)
+
+
+def _resize_argmax_hwc(z, out_hw, align_corners, interpret):
+    return _resize_argmax_cm(jnp.transpose(z, (2, 0, 1)), out_hw,
+                             align_corners, interpret)
 
 
 # 16 output rows/step: the (R, Wo, 64) out block lane-pads 64->128 and is
@@ -266,4 +271,26 @@ def resize_argmax(logits: jnp.ndarray, out_hw, align_corners: bool = False,
     outs = [_resize_argmax_hwc(logits[n], out_hw, bool(align_corners),
                                bool(interpret))
             for n in range(logits.shape[0])]
+    return jnp.stack(outs)
+
+
+def resize_argmax_cm(logits_cm: jnp.ndarray, out_hw,
+                     align_corners: bool = False,
+                     interpret: bool = None) -> jnp.ndarray:
+    """Channel-major variant: logits_cm (N, C, h, w) -> (N, out_h, out_w)
+    uint8.  Same numerics as :func:`resize_argmax`, for callers that
+    already hold channel-major logits (skips the NHWC->CHW transpose).
+
+    NOTE this is NOT a layout firewall: producing the (C, h, w) operand
+    inside a conv-bearing program (via transpose, dot_general, or even a
+    dedicated Pallas classifier kernel) lets XLA's conv-strategy /
+    layout passes degrade the upstream convs ~2.5x.  The deploy path
+    instead isolates the Pallas tail in its OWN executable
+    (deploy.make_split_inference_fn) — see docs/ROADMAP.md."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    out_hw = (int(out_hw[0]), int(out_hw[1]))
+    outs = [_resize_argmax_cm(logits_cm[n], out_hw, bool(align_corners),
+                              bool(interpret))
+            for n in range(logits_cm.shape[0])]
     return jnp.stack(outs)

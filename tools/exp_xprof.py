@@ -74,18 +74,27 @@ def build_step(variant, batch):
 
         key = jax.random.key(1)
         return lambda s: (s, fwd(params, bn, b, key)), None
-    if variant == "deploy":
+    if variant in ("deploy", "hrnet"):
         from dcfp_tpu.engine.deploy import aot_compile, make_inference_fn
-        dmodel = build_model(
-            "deeplabv3", backbone="resnet101",
-            backbone_para={"os": 8, "mg_unit": [1, 2, 4], "inplanes": 128},
-            num_classes=19, align_corner=True, deepsup=False)
+        if variant == "hrnet":
+            dmodel = build_model(
+                "simple", backbone="hrnetv2w48",
+                backbone_para={"pretrained": False},
+                num_classes=19, align_corner=True, deepsup=False)
+        else:
+            dmodel = build_model(
+                "deeplabv3", backbone="resnet101",
+                backbone_para={"os": 8, "mg_unit": [1, 2, 4],
+                               "inplanes": 128},
+                num_classes=19, align_corner=True, deepsup=False)
         dparams, dbn = init_graph(dmodel.graph, jax.random.key(0))
+        ifmt = "nchw" if variant == "deploy" else "nhwc"
         fn, dev_params = make_inference_fn(dmodel.graph, dparams, dbn,
                                            dtype=jnp.bfloat16,
                                            fold_bn=True, output="argmax",
-                                           input_format="nchw")
-        shape = (1, 3, 1025, 2049)
+                                           input_format=ifmt)
+        shape = ((1, 3, 1025, 2049) if ifmt == "nchw"
+                 else (1, 1025, 2049, 3))
         compiled = aot_compile(fn, dev_params, shape)
         image = jnp.asarray(rng.uniform(-1, 1, shape).astype(np.float32))
         return lambda s: (s, compiled(dev_params, image)), None
