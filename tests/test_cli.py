@@ -273,3 +273,77 @@ def test_hrnet_train_smoke(cs_fixture, tmp_path_factory):
         "--loss-type", "ce", "--deepsup", "true", "--align-corner", "false",
         "--num-devices", "1", "--snapshot-dir", snap]) == 0
     assert os.path.exists(os.path.join(snap, "CS_scenes_1.msgpack"))
+
+
+def test_hrnet_full_pipeline(cs_fixture, tmp_path_factory):
+    """The full DCFP recipe on the HRNetV2 backbone — the channel-coupling
+    stress test (SURVEY: dense multi-branch fusion, dozens of coupled
+    groups; reference hrnet.py + the same train/prune/finetune flow as
+    test_full_pipeline): pretrain+EIC -> DCFP prune with round-trip
+    verification -> finetune at pruned widths -> evaluate -> deploy."""
+    work = str(tmp_path_factory.mktemp("hrwork"))
+    snap = os.path.join(work, "pretrain")
+    prune_dir = os.path.join(work, "prune")
+    ft = os.path.join(work, "finetune")
+    para = '{"width": 18}'
+
+    from dcfp_tpu.cli import label_index
+    assert label_index.main([
+        "--dataset", "CS", "--save-dir", cs_fixture]) == 0
+
+    from dcfp_tpu.cli import train
+    assert train.main([
+        "--dataset", "CS", "--model", "simple", "--backbone", "hrnetv2w48",
+        "--backbone-para", para, "--input-size", "64,64",
+        "--batch-size", "2", "--num-steps", "2", "--save-pred-every", "2",
+        "--loss-type", "ce", "--deepsup", "true", "--prune-type", "dcfp",
+        "--snapshot-dir", snap, "--num-devices", "1", "--log-every", "1",
+        "--align-corner", "false"]) == 0
+    pretrain_ckpt = os.path.join(snap, "CS_scenes_2.msgpack")
+    score = os.path.join(snap, "score.msgpack")
+    assert os.path.exists(pretrain_ckpt) and os.path.exists(score)
+
+    # DCFP prune of the fusion lattice, with the CLI's pruned==masked
+    # round-trip verification gate
+    from dcfp_tpu.cli import prune
+    assert prune.main([
+        "--dataset", "CS", "--model", "simple", "--backbone", "hrnetv2w48",
+        "--backbone-para", para, "--align-corner", "false",
+        "--model-path", pretrain_ckpt, "--score-path", score,
+        "--prune-ratio", "0.2", "--flops-input-size", "64,64",
+        "--save-path", prune_dir]) == 0
+    cfg_path = os.path.join(prune_dir, "channel_cfg.msgpack")
+    pruned_path = os.path.join(prune_dir, "pruned.msgpack")
+    assert os.path.exists(cfg_path) and os.path.exists(pruned_path)
+
+    assert train.main([
+        "--dataset", "CS", "--model", "simple", "--backbone", "hrnetv2w48",
+        "--backbone-para", para, "--input-size", "64,64",
+        "--batch-size", "2", "--num-steps", "1", "--save-pred-every", "1",
+        "--loss-type", "gsrl", "--deepsup", "true", "--balance", "2",
+        "--resample", "true",
+        "--channel-cfg", cfg_path, "--resume", pruned_path,
+        "--snapshot-dir", ft, "--num-devices", "1", "--log-every", "1",
+        "--align-corner", "false", "--warmup", "1"]) == 0
+    ft_ckpt = os.path.join(ft, "CS_scenes_1.msgpack")
+    assert os.path.exists(ft_ckpt)
+
+    from dcfp_tpu.cli import evaluate
+    result_file = os.path.join(work, "result.txt")
+    assert evaluate.main([
+        "--dataset", "CS", "--data-dir", "val", "--model", "simple",
+        "--backbone", "hrnetv2w48", "--backbone-para", para,
+        "--align-corner", "false", "--whole", "true", "--ms", "1",
+        "--input-size", "64,64", "--restore-from", ft_ckpt,
+        "--channel-cfg", cfg_path, "--result-file", result_file]) == 0
+    assert "meanIU" in open(result_file).read()
+
+    from dcfp_tpu.cli import deploy
+    deploy_dir = os.path.join(work, "deploy")
+    assert deploy.main([
+        "--dataset", "CS", "--model", "simple", "--backbone", "hrnetv2w48",
+        "--backbone-para", para, "--align-corner", "false",
+        "--input-size", "64,64", "--restore-from", ft_ckpt,
+        "--channel-cfg", cfg_path, "--save-dir", deploy_dir,
+        "--warmup", "1", "--iters", "2"]) == 0
+    assert os.path.exists(os.path.join(deploy_dir, "model.stablehlo"))
