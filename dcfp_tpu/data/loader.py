@@ -81,7 +81,13 @@ def _decode_worker(dataset, seed: int, rank: int, idx_q, res_q):
             res_q.put((serial, _make_batch(dataset, seed, epoch, b, rank,
                                            idxs)))
         except Exception as e:  # surface to the consumer
-            res_q.put((serial, e))
+            try:
+                res_q.put((serial, e))
+            except Exception:
+                # an unpicklable exception would otherwise strand the
+                # consumer waiting on this serial forever
+                res_q.put((serial, RuntimeError(
+                    f"decode worker failed: {type(e).__name__}: {e}")))
 
 
 class TrainLoader:

@@ -347,3 +347,79 @@ def test_hrnet_full_pipeline(cs_fixture, tmp_path_factory):
         "--channel-cfg", cfg_path, "--save-dir", deploy_dir,
         "--warmup", "1", "--iters", "2"]) == 0
     assert os.path.exists(os.path.join(deploy_dir, "model.stablehlo"))
+
+
+def test_ade_longtail_pipeline(tmp_path_factory):
+    """The .odgt dataset family (ADE20K: 150 classes, label-1 remap,
+    shortsize resize) through label_index -> long-tail train (gsrl +
+    balance 2 + resample, the scripts/ade/finetune.sh recipe shape) ->
+    evaluate.  Reference: datasets/ADEdatasets.py, scripts/ade/*.sh."""
+    from dcfp_tpu.data.synthetic import make_shifted_fixture
+    root = str(tmp_path_factory.mktemp("ade"))
+    manifest = make_shifted_fixture(root, fmt="ADE", n_images=3,
+                                    hw=(64, 80), num_classes=150)
+    os.environ["DCFP_ADE_ROOT"] = root
+    os.environ["DCFP_ADE_TRAIN_LIST"] = manifest
+    os.environ["DCFP_ADE_VAL_LIST"] = manifest
+
+    from dcfp_tpu.cli import evaluate, label_index, train
+    assert label_index.main([
+        "--dataset", "ADE", "--save-dir", root]) == 0
+    assert os.path.exists(os.path.join(root, "label_index_ADE.pkl"))
+
+    work = str(tmp_path_factory.mktemp("adework"))
+    snap = os.path.join(work, "ft")
+    assert train.main([
+        "--dataset", "ADE", "--model", "simple", "--backbone", "resnet50",
+        "--backbone-para", BACKBONE_PARA, "--input-size", "48,48",
+        "--shortsize", "64", "--batch-size", "2", "--num-steps", "2",
+        "--save-pred-every", "2", "--loss-type", "gsrl", "--deepsup",
+        "true", "--balance", "2", "--resample", "true", "--warmup", "1",
+        "--random-scale", "--snapshot-dir", snap, "--num-devices", "1",
+        "--log-every", "1", "--align-corner", "false"]) == 0
+    ckpt_path = os.path.join(snap, "ADE_scenes_2.msgpack")
+    assert os.path.exists(ckpt_path)
+
+    result_file = os.path.join(work, "result.txt")
+    assert evaluate.main([
+        "--dataset", "ADE", "--data-dir", "val", "--model", "simple",
+        "--backbone", "resnet50", "--backbone-para", BACKBONE_PARA,
+        "--align-corner", "false", "--whole", "true", "--ms", "1",
+        "--input-size", "48,48", "--shortsize", "64",
+        "--restore-from", ckpt_path, "--result-file", result_file]) == 0
+    assert "meanIU" in open(result_file).read()
+
+
+def test_coco_pipeline_minimal(tmp_path_factory):
+    """The name-list + _labelTrainIds dataset family (COCO-Stuff: 171
+    classes) through train -> evaluate.  Reference:
+    datasets/COCOdatasets.py, scripts/coco/*.sh."""
+    from dcfp_tpu.data.synthetic import make_shifted_fixture
+    root = str(tmp_path_factory.mktemp("coco"))
+    manifest = make_shifted_fixture(root, fmt="COCO", n_images=3,
+                                    hw=(64, 80), num_classes=171)
+    os.environ["DCFP_COCO_ROOT"] = root
+    os.environ["DCFP_COCO_TRAIN_LIST"] = manifest
+    os.environ["DCFP_COCO_VAL_LIST"] = manifest
+
+    from dcfp_tpu.cli import evaluate, train
+    work = str(tmp_path_factory.mktemp("cocowork"))
+    snap = os.path.join(work, "pt")
+    assert train.main([
+        "--dataset", "COCO", "--model", "simple", "--backbone", "resnet50",
+        "--backbone-para", BACKBONE_PARA, "--input-size", "48,48",
+        "--shortsize", "64", "--batch-size", "2", "--num-steps", "1",
+        "--save-pred-every", "1", "--loss-type", "ce", "--deepsup",
+        "true", "--snapshot-dir", snap, "--num-devices", "1",
+        "--log-every", "1", "--align-corner", "false"]) == 0
+    ckpt_path = os.path.join(snap, "COCO_scenes_1.msgpack")
+    assert os.path.exists(ckpt_path)
+
+    result_file = os.path.join(work, "result.txt")
+    assert evaluate.main([
+        "--dataset", "COCO", "--data-dir", "val", "--model", "simple",
+        "--backbone", "resnet50", "--backbone-para", BACKBONE_PARA,
+        "--align-corner", "false", "--whole", "true", "--ms", "1",
+        "--input-size", "48,48", "--shortsize", "64",
+        "--restore-from", ckpt_path, "--result-file", result_file]) == 0
+    assert "meanIU" in open(result_file).read()
