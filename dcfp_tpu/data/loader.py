@@ -81,13 +81,17 @@ def _decode_worker(dataset, seed: int, rank: int, idx_q, res_q):
             res_q.put((serial, _make_batch(dataset, seed, epoch, b, rank,
                                            idxs)))
         except Exception as e:  # surface to the consumer
+            # mp.Queue.put pickles in a background feeder thread, so an
+            # unpicklable exception would fail silently there and strand
+            # the consumer waiting on this serial forever — verify
+            # picklability HERE and degrade to a plain RuntimeError
+            import pickle
             try:
-                res_q.put((serial, e))
+                pickle.dumps(e)
             except Exception:
-                # an unpicklable exception would otherwise strand the
-                # consumer waiting on this serial forever
-                res_q.put((serial, RuntimeError(
-                    f"decode worker failed: {type(e).__name__}: {e}")))
+                e = RuntimeError(
+                    f"decode worker failed: {type(e).__name__}: {e}")
+            res_q.put((serial, e))
 
 
 class TrainLoader:

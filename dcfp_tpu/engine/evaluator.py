@@ -48,11 +48,25 @@ log = get_logger()
 
 def confusion_matrix(gt: np.ndarray, pred: np.ndarray, num_classes: int,
                      ignore_label: int = 255) -> np.ndarray:
+    """Bincount confusion matrix (reference evaluate.py:229-247).
+
+    Matches the reference's get_confusion_matrix EXACTLY, including its
+    handling of out-of-range predictions: in boundary-IoU mode pred
+    contains ignore_label (non-boundary) at pixels where gt IS a
+    boundary (evaluate.py:352-357 transforms pred and gt independently,
+    then filters on gt only at :359-361), so ``idx = gt*C + pred`` can
+    exceed C*C.  The reference bincounts all idx values and copies only
+    the first C*C entries into the matrix — entries beyond C*C are
+    dropped, and out-of-range idx that happen to land BELOW C*C alias
+    into unrelated (gt', pred') cells (e.g. gt=0, pred=255, C=19 ->
+    cell (13, 8)).  We reproduce that verbatim: published boundary-IoU
+    numbers are only comparable under identical binning."""
     valid = gt != ignore_label
     gt = gt[valid].astype(np.int64)
     pred = pred[valid].astype(np.int64)
     idx = gt * num_classes + pred
-    return np.bincount(idx, minlength=num_classes * num_classes).reshape(
+    n = num_classes * num_classes
+    return np.bincount(idx, minlength=n)[:n].reshape(
         num_classes, num_classes).astype(np.float64)
 
 

@@ -415,11 +415,17 @@ def test_coco_pipeline_minimal(tmp_path_factory):
     ckpt_path = os.path.join(snap, "COCO_scenes_1.msgpack")
     assert os.path.exists(ckpt_path)
 
+    # boundary-IoU mode + saved prediction PNGs (reference
+    # evaluate.py:343-357: mask_to_boundary on pred AND gt, palette save)
     result_file = os.path.join(work, "result.txt")
     assert evaluate.main([
         "--dataset", "COCO", "--data-dir", "val", "--model", "simple",
         "--backbone", "resnet50", "--backbone-para", BACKBONE_PARA,
         "--align-corner", "false", "--whole", "true", "--ms", "1",
         "--input-size", "48,48", "--shortsize", "64",
+        "--iou-type", "boundary", "--dilation-ratio", "0.02",
+        "--save-predict", "true",
         "--restore-from", ckpt_path, "--result-file", result_file]) == 0
     assert "meanIU" in open(result_file).read()
+    predict_dir = os.path.join(snap, "predict")  # defaults next to ckpt
+    assert os.path.isdir(predict_dir) and os.listdir(predict_dir)

@@ -283,3 +283,45 @@ def test_eval_loader_rank_sharding(cs_fixture):
         assert len(loader) == 2
         seen += [b["img_meta"][0]["idx"] for b in loader]
     assert sorted(seen) == list(range(6))
+
+
+class _Unpicklable(RuntimeError):
+    """An exception whose args cannot cross a multiprocessing queue."""
+
+    def __init__(self):
+        super().__init__("boom")
+        self.payload = lambda: None  # unpicklable attribute
+
+
+class _ExplodingDataset:
+    def __init__(self, inner):
+        self.inner = inner
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __getattr__(self, name):  # delegate pre_processing, rng, ...
+        return getattr(self.inner, name)
+
+    def __setattr__(self, name, value):
+        if name == "inner":
+            object.__setattr__(self, name, value)
+        else:
+            setattr(self.inner, name, value)
+
+    def __getitem__(self, i):
+        raise _Unpicklable()
+
+
+def test_train_loader_worker_error_surfaces(cs_fixture):
+    """A decode-worker failure — even one whose exception object cannot
+    be pickled back across the result queue — surfaces to the consumer
+    instead of stranding it (loader.py _decode_worker fallback)."""
+    root, manifest = cs_fixture
+    ds = _ExplodingDataset(CityscapesDataset(
+        root, manifest, split="train", crop_size=(32, 32), seed=3))
+    loader = TrainLoader(ds, batch_size=2, seed=11, num_workers=2,
+                         use_processes=True)
+    with pytest.raises(RuntimeError, match="boom"):
+        next(iter(loader))
+    loader.stop()

@@ -56,6 +56,33 @@ def test_confusion_matrix_matches_reference_math(rng):
     assert got2.sum() == 900
 
 
+def test_confusion_matrix_boundary_mode_matches_reference(rng):
+    """Boundary-IoU-shaped input: pred contains ignore_label (255) at
+    pixels where gt is a valid boundary class (evaluate.py:352-361
+    transforms pred/gt independently and filters on gt only), so
+    gt*C + pred runs past C*C.  The reference's per-cell copy loop
+    drops entries >= C*C and ALIASES out-of-range idx that land below
+    C*C into unrelated cells — assert we reproduce that verbatim."""
+    for C in (5, 19):
+        gt = rng.integers(0, C, 2000)
+        pred = rng.integers(0, C, 2000)
+        pred[rng.random(2000) < 0.3] = 255  # non-boundary predictions
+        gt[rng.random(2000) < 0.2] = 255
+        got = confusion_matrix(gt, pred, C, ignore_label=255)
+        keep = gt != 255
+        index = (gt[keep] * C + pred[keep]).astype("int32")
+        label_count = np.bincount(index)
+        want = np.zeros((C, C))
+        for i in range(C):
+            for j in range(C):
+                cur = i * C + j
+                if cur < len(label_count):
+                    want[i, j] = label_count[cur]
+        np.testing.assert_array_equal(got, want)
+        # the aliasing is real: some out-of-range idx landed in-range
+        assert (gt[keep] * C + pred[keep] >= C * C).any()
+
+
 def test_metrics_from_confusion():
     cm = np.array([[8., 2.], [1., 9.]])
     m = metrics_from_confusion(cm)
