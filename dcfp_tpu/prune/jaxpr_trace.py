@@ -188,16 +188,29 @@ class _JaxprTracer:
             if not isinstance(rhs, _Kernel):
                 raise NotImplementedError(
                     "conv kernel is not a traced parameter leaf")
-            if groups != 1:
-                raise NotImplementedError(
-                    "grouped conv tracing not implemented (not used by "
-                    "the model family)")
             name = rhs.name
             out_ch = out_aval.shape[dn.out_spec[1]]
+            in_ch = eqn.invars[0].aval.shape[dn.lhs_spec[1]]
+            if groups != 1:
+                if not (groups == in_ch == out_ch):
+                    raise NotImplementedError(
+                        "grouped conv with 1 < groups < in_ch (the "
+                        "reference's pruner does not support these "
+                        "either, channel_pruner.py:934)")
+                # depthwise: joins its parent's coupling group (the
+                # reference's depthwise parser, channel_pruner.py:324-329)
+                if (not isinstance(lhs, _Act) or len(lhs.segs) != 1
+                        or lhs.segs[0][0] is None):
+                    raise NotImplementedError(
+                        "depthwise conv over a concat or unprunable "
+                        "input")
+                self.uf.union(lhs.segs[0][0], name)
+                self.conv_in[name] = lhs.segs
+                self.conv_out_ch[name] = out_ch
+                return _Act(dn.out_spec[1], ((name, out_ch),))
             if isinstance(lhs, _Act):
                 self.conv_in[name] = lhs.segs
             else:
-                in_ch = eqn.invars[0].aval.shape[dn.lhs_spec[1]]
                 self.conv_in[name] = ((None, in_ch),)
             self.conv_out_ch[name] = out_ch
             return _Act(dn.out_spec[1], ((name, out_ch),))

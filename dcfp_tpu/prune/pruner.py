@@ -177,6 +177,13 @@ class ChannelPruner:
         state = {k: {kk: _np(vv).copy() for kk, vv in v.items()}
                  for k, v in state.items()}
         for conv in topo.conv_space:
+            if graph.node(conv).attrs.get("groups", 1) > 1:
+                # depthwise: a pruned input channel IS the pruned output
+                # channel (shared mask), so its constant dies with the
+                # channel — nothing to absorb.  (The reference's
+                # matmul-based absorption cannot express this case,
+                # channel_pruner.py:893-895.)
+                continue
             segs = topo.in_segments[conv]
             if all(s.space is None for s in segs):
                 continue  # input-fed conv, nothing prunable upstream
@@ -219,7 +226,16 @@ class ChannelPruner:
                     out_m = np.ones(node.attrs["out_ch"], bool)
                 in_m = self.in_mask(topo, masks, node.name)
                 k = _np(params[node.name]["kernel"])
-                k = k[:, :, in_m, :][:, :, :, out_m]
+                depthwise = node.attrs.get("groups", 1) > 1
+                if depthwise:
+                    # kernel is (k, k, 1, C): channels map 1:1 and the
+                    # conv shares its space's mask, so only the out dim
+                    # slices; groups shrinks with it (the reference's
+                    # deploy_subnet sets module.groups = in_channels,
+                    # channel_pruner.py:934-936)
+                    k = k[:, :, :, out_m]
+                else:
+                    k = k[:, :, in_m, :][:, :, :, out_m]
                 p = {"kernel": k}
                 if "bias" in params[node.name]:
                     p["bias"] = _np(params[node.name]["bias"])[out_m]
@@ -227,6 +243,8 @@ class ChannelPruner:
                 nn = new_graph.node(node.name)
                 nn.attrs["in_ch"] = int(in_m.sum())
                 nn.attrs["out_ch"] = int(out_m.sum())
+                if depthwise:
+                    nn.attrs["groups"] = int(out_m.sum())
                 nn.attrs["bias"] = "bias" in p
                 channel_cfg[node.name] = {
                     "in_channels": int(in_m.sum()),
@@ -383,6 +401,9 @@ def apply_channel_cfg(graph: Graph, channel_cfg: Dict) -> Graph:
         if node.op == "conv":
             node.attrs["in_ch"] = cfg["in_channels"]
             node.attrs["out_ch"] = cfg["out_channels"]
+            if node.attrs.get("groups", 1) > 1:
+                # depthwise: groups shrinks with the shared channel mask
+                node.attrs["groups"] = cfg["out_channels"]
         elif node.op == "bn":
             node.attrs["channels"] = cfg["out_channels"]
     return g

@@ -94,7 +94,26 @@ def trace_topology(graph: Graph) -> Topology:
         if op == "input":
             desc[node.name] = [(None, node.attrs["channels"])]
         elif op == "conv":
-            desc[node.name] = [(node.name, node.attrs["out_ch"])]
+            groups = node.attrs.get("groups", 1)
+            if groups == 1:
+                desc[node.name] = [(node.name, node.attrs["out_ch"])]
+            elif (groups == node.attrs["in_ch"]
+                  and node.attrs["out_ch"] == node.attrs["in_ch"]):
+                # depthwise: channels map 1:1, so the conv joins its
+                # parent's coupling group (the reference's depthwise
+                # parser, channel_pruner.py:324-329) and shares its mask
+                d = desc[node.inputs[0]]
+                if len(d) != 1 or d[0][0] is None:
+                    raise NotImplementedError(
+                        f"trace: depthwise conv {node.name!r} over a "
+                        "concat or unprunable input")
+                uf.union(d[0][0], node.name)
+                desc[node.name] = [(node.name, node.attrs["out_ch"])]
+            else:
+                raise NotImplementedError(
+                    f"trace: grouped conv {node.name!r} with "
+                    f"1 < groups < in_ch (the reference's pruner does "
+                    "not support these either, channel_pruner.py:934)")
         elif op == "concat":
             d: List[Tuple[Optional[str], int]] = []
             for i in node.inputs:

@@ -315,3 +315,71 @@ def test_channel_align_rounds_up_and_preserves_equivalence(rng):
     np.testing.assert_allclose(np.asarray(out1["pred"]),
                                np.asarray(out2["pred"]), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_depthwise_conv_coupling_and_surgery(rng):
+    """MobileNet-style block: 1x1 expand -> depthwise 3x3 -> 1x1 project.
+    The depthwise conv joins its parent's coupling group (the reference's
+    depthwise parser, channel_pruner.py:324-329) and surgery slices its
+    kernel + groups together with the shared mask (deploy_subnet's
+    groups = in_channels, channel_pruner.py:934-936)."""
+    b = GraphBuilder("mb")
+    x = b.input("image")
+    x = b.conv(x, "expand", out_ch=12, kernel=1, padding=0)
+    x = b.bn(x, "expand.bn")
+    x = b.relu(x, "expand.r")
+    x = b.conv(x, "dw", out_ch=12, kernel=3, groups=12)
+    x = b.bn(x, "dw.bn")
+    x = b.relu(x, "dw.r")
+    pred = b.conv(x, "project", out_ch=5, kernel=1, padding=0, bias=True)
+    g = b.finish([pred])
+    g.ignore_prune = []
+
+    topo = trace_topology(g)
+    # depthwise couples with its parent conv
+    assert topo.conv_space["dw"] == topo.conv_space["expand"]
+    assert topo.norm_conv["dw.bn"] == "dw"
+
+    # jaxpr tracer agrees
+    from dcfp_tpu.prune.jaxpr_trace import trace_topology_jaxpr
+    params, state = init_graph(g, jax.random.key(0))
+    t_jx = trace_topology_jaxpr(g, params, state, input_shape=(1, 9, 9, 3))
+    assert ({frozenset(v) for v in topo.spaces.values()}
+            == {frozenset(v) for v in t_jx.spaces.values()})
+    assert topo.norm_conv == t_jx.norm_conv
+
+    # surgery == zeroed channels (scale+bias zeroed on BOTH bns of the
+    # shared space)
+    params = jax.tree.map(np.asarray, params)
+    state = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+             for k, v in state.items()}
+    for bn in ("expand.bn", "dw.bn"):
+        params[bn]["scale"] = rng.standard_normal(12).astype(np.float32)
+        params[bn]["bias"] = rng.standard_normal(12).astype(np.float32)
+        state[bn]["mean"] = rng.standard_normal(12).astype(np.float32)
+        state[bn]["var"] = (np.abs(rng.standard_normal(12)) + 0.5
+                            ).astype(np.float32)
+    mask = np.array([1, 0, 1, 1, 0, 1, 0, 1, 1, 1, 0, 1], bool)
+    for bn in ("expand.bn", "dw.bn"):
+        params[bn]["scale"][~mask] = 0.0
+        params[bn]["bias"][~mask] = 0.0
+
+    x_in = rng.standard_normal((2, 9, 9, 3)).astype(np.float32)
+    full = _forward(g, params, state, x_in)
+    pruner = FixedMaskPruner({"expand": mask, "dw": mask})
+    result = pruner.prune_model(g, params, state)
+    pruned = _forward(result.graph, result.params, result.state, x_in)
+    np.testing.assert_allclose(pruned, full, rtol=1e-4, atol=1e-5)
+
+    dwn = result.graph.node("dw")
+    kept = int(mask.sum())
+    assert dwn.attrs["out_ch"] == kept and dwn.attrs["in_ch"] == kept
+    assert dwn.attrs["groups"] == kept
+    assert result.params["dw"]["kernel"].shape == (3, 3, 1, kept)
+
+    # the finetune-path rebuild (apply_channel_cfg) shrinks groups too,
+    # and the rebuilt graph runs with the surgically sliced params
+    g2 = apply_channel_cfg(g, result.channel_cfg)
+    assert g2.node("dw").attrs["groups"] == kept
+    out2 = _forward(g2, result.params, result.state, x_in)
+    np.testing.assert_allclose(out2, pruned, rtol=1e-5, atol=1e-6)
