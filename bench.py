@@ -34,7 +34,7 @@ if _cache and _cache != "0":
 
 
 def main():
-    from dcfp_tpu.engine.deploy import aot_compile_split, benchmark, \
+    from dcfp_tpu.engine.deploy import aot_compile_best, benchmark, \
         make_split_inference_fn
     from dcfp_tpu.graph.apply import init_graph
     from dcfp_tpu.models.registry import build_model
@@ -72,23 +72,30 @@ def main():
     nchw = (shape[0], shape[3], shape[1], shape[2])
     image = jnp.asarray(rng.uniform(-1, 1, nchw).astype(np.float32))
 
-    def deploy_ips(graph, p, s, batch=1):
+    modes = {}
+
+    def deploy_ips(graph, p, s, batch=1, tag=""):
         b_nchw = (batch,) + nchw[1:]
         b_image = (image if batch == 1 else
                    jnp.asarray(np.repeat(np.asarray(image), batch, 0)))
-        # split compile: the Pallas tail lives in its own executable so
-        # the conv body keeps XLA's tiled strategy (deploy.py)
+        # autotune the deploy form: split (Pallas tail in its own
+        # executable, preserving XLA's tiled conv strategy) vs single
+        # program — briefly timed, faster one runs the full protocol
         body_fn, tail_fn, dev_params = make_split_inference_fn(
             graph, p, s, dtype=jnp.bfloat16, fold_bn=True,
             output="argmax", input_format="nchw")
-        compiled = aot_compile_split(body_fn, tail_fn, dev_params, b_nchw,
-                                     input_format="nchw")
+        compiled, mode = aot_compile_best(
+            body_fn, tail_fn, dev_params, b_nchw, input_format="nchw",
+            sample=b_image)
+        if tag:
+            modes[tag] = mode
         stats = benchmark(lambda img: compiled(dev_params, img),
                           b_image, warmup=warmup, iters=iters)
         return stats["images_per_sec"]
 
-    base_ips = deploy_ips(model.graph, params, state)
-    pruned_ips = deploy_ips(result.graph, result.params, result.state)
+    base_ips = deploy_ips(model.graph, params, state, tag="unpruned")
+    pruned_ips = deploy_ips(result.graph, result.params, result.state,
+                            tag="pruned")
     # batch-1 stays the headline (protocol parity with totrt.py:113);
     # batch 4 measures whether img/s/chip — the north-star unit — gains
     # from batching (VERDICT r2 item 4)
@@ -106,6 +113,7 @@ def main():
             "pruned_img_per_s_batch4": round(pruned_ips_b4, 3),
             "global_percent": gp,
             "flops_ratio": round(report["flops_ratio"], 4),
+            "deploy_modes": modes,
             "small_mode": small,
         },
     }))

@@ -394,6 +394,45 @@ def aot_compile_split(body_fn, tail_fn, params,
     return run
 
 
+def aot_compile_best(body_fn, tail_fn, params,
+                     input_shape: Tuple[int, ...],
+                     input_dtype=jnp.float32,
+                     input_format: str = "nhwc", input_hw=None,
+                     sample=None, probe_iters: int = 5):
+    """Compile BOTH deploy forms — the split pair and the single
+    program — time each briefly on ``sample``, and return
+    ``(run, mode)`` for the faster ('split' | 'single').
+
+    The split form wins when the Pallas tail in-program costs the conv
+    chain XLA's tiled strategy (2.5x on HRNet-W48); whether that
+    happens depends on the conv graph, so the deploy autotunes — the
+    same builder-time measurement TensorRT performs when selecting
+    tactics (the reference's totrt.py relies on exactly that).  With no tail
+    (logits output) or no sample, returns the split/single-identical
+    body program."""
+    split = aot_compile_split(body_fn, tail_fn, params, input_shape,
+                              input_dtype, input_format, input_hw)
+    if tail_fn is None or sample is None:
+        return split, "split"
+    out_hw = infer_out_hw(input_shape, input_format, input_hw)
+
+    def single_fn(p, image):
+        return tail_fn(body_fn(p, image), out_hw)
+
+    single = aot_compile(single_fn, params, input_shape, input_dtype)
+    t_split = benchmark(lambda img: split(params, img), sample,
+                        warmup=2, iters=probe_iters)["ms_per_batch"]
+    t_single = benchmark(lambda img: single(params, img), sample,
+                         warmup=2, iters=probe_iters)["ms_per_batch"]
+    if t_single < t_split:
+        log.info("deploy autotune: single-program wins (%.2f vs %.2f ms)",
+                 t_single, t_split)
+        return single, "single"
+    log.info("deploy autotune: split wins (%.2f vs %.2f ms)",
+             t_split, t_single)
+    return split, "split"
+
+
 def export_serialized(fn, params, input_shape: Tuple[int, ...], path: str,
                       input_dtype=jnp.float32) -> None:
     """Serialize the lowered computation (StableHLO) to disk — the

@@ -149,3 +149,35 @@ def test_serialized_split_roundtrip(rng, tmp_path):
     want = np.asarray(jax.jit(
         lambda pp, im: tail(body(pp, im), (17, 21)))(p, img))
     np.testing.assert_array_equal(got, want)
+
+
+def test_deploy_autotune_picks_a_mode(rng):
+    """aot_compile_best times split vs single-program and returns the
+    winner; either way the labels must match the split reference (on
+    CPU both forms are numerically identical)."""
+    from dcfp_tpu.engine.deploy import (aot_compile_best,
+                                        aot_compile_split,
+                                        make_split_inference_fn)
+    from dcfp_tpu.graph.apply import init_graph
+
+    g = _tail_graph(False)
+    params, state = init_graph(g, jax.random.key(0))
+    img = jnp.asarray(rng.standard_normal((1, 33, 33, 3))
+                      .astype(np.float32))
+    body, tail, p = make_split_inference_fn(g, params, state,
+                                            dtype=jnp.float32,
+                                            output="argmax")
+    run, mode = aot_compile_best(body, tail, p, img.shape, sample=img,
+                                 probe_iters=2)
+    assert mode in ("split", "single")
+    want = np.asarray(aot_compile_split(body, tail, p, img.shape)(p, img))
+    np.testing.assert_array_equal(np.asarray(run(p, img)), want)
+
+    # no tail (logits output) degrades to the body program
+    body2, tail2, p2 = make_split_inference_fn(g, params, state,
+                                               dtype=jnp.float32,
+                                               output="logits")
+    run2, mode2 = aot_compile_best(body2, tail2, p2, img.shape,
+                                   sample=img)
+    assert tail2 is None and mode2 == "split"
+    assert run2(p2, img).shape[0] == 1
