@@ -49,14 +49,23 @@ def get_parser() -> argparse.ArgumentParser:
                    help="argmax (uint8 labels) | logits")
     p.add_argument("--warmup", type=int, default=10)
     p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--deploy-form", type=str, default="auto",
+                   choices=["auto", "split", "single"],
+                   help="auto: compile both forms, probe, keep the "
+                        "faster (the TRT builder's tactic-selection "
+                        "analog); split: Pallas tail in its own "
+                        "executable; single: one program")
     return p
 
 
 def main(argv=None) -> int:
     args = get_parser().parse_args(argv)
     from dcfp_tpu.data.paths import dataset_key
-    from dcfp_tpu.engine.deploy import (aot_compile_split, benchmark,
+    from dcfp_tpu.engine.deploy import (aot_compile, aot_compile_best,
+                                        aot_compile_split, benchmark,
+                                        export_serialized,
                                         export_serialized_split,
+                                        infer_out_hw,
                                         make_split_inference_fn)
     from dcfp_tpu.graph.apply import init_graph
     from dcfp_tpu.prune.pruner import apply_channel_cfg
@@ -78,32 +87,53 @@ def main(argv=None) -> int:
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
              "bf16": jnp.bfloat16}[args.dtype]
 
-    # body and tail compile as separate executables: one-program
-    # compilation costs the conv chain XLA's tiled strategy (see
-    # deploy.make_split_inference_fn; measured 60.4 -> 49.3 ms on
-    # HRNet-W48 @1025x2049)
+    # body and tail compile as separate executables by default:
+    # one-program compilation can cost the conv chain XLA's tiled
+    # strategy (see deploy.make_split_inference_fn; measured
+    # 60.4 -> 49.3 ms on HRNet-W48 @1025x2049).  --deploy-form auto
+    # probes both forms and keeps the faster (the TRT builder's
+    # tactic-selection analog).
     body_fn, tail_fn, dev_params = make_split_inference_fn(
         graph, params, bn_state, dtype=dtype, fold_bn=True,
         output=args.output)
-    compiled = aot_compile_split(body_fn, tail_fn, dev_params, shape)
+    image = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, shape).astype(np.float32))
+    out_hw = infer_out_hw(shape)
+
+    def single_fn(p, img):
+        return tail_fn(body_fn(p, img), out_hw)
+
+    if tail_fn is None or args.deploy_form == "split":
+        compiled, form = (aot_compile_split(body_fn, tail_fn, dev_params,
+                                            shape), "split")
+    elif args.deploy_form == "single":
+        compiled, form = aot_compile(single_fn, dev_params,
+                                     shape), "single"
+    else:
+        compiled, form = aot_compile_best(body_fn, tail_fn, dev_params,
+                                          shape, sample=image)
+    log.info("deploy form: %s", form)
 
     if args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
-        export_serialized_split(body_fn, tail_fn, dev_params, shape,
-                                os.path.join(args.save_dir,
-                                             "model.stablehlo"))
+        path = os.path.join(args.save_dir, "model.stablehlo")
+        if form == "single" and tail_fn is not None:
+            export_serialized(single_fn, dev_params, shape, path)
+        else:
+            export_serialized_split(body_fn, tail_fn, dev_params, shape,
+                                    path)
         ckpt.save_pytree(os.path.join(args.save_dir,
                                       "deploy_params.msgpack"), dev_params)
         with open(os.path.join(args.save_dir, "meta.json"), "w") as f:
             json.dump({"input": list(shape), "dtype": args.dtype,
-                       "output": args.output,
-                       "split_tail": tail_fn is not None}, f)
+                       "output": args.output, "form": form,
+                       "split_tail": (form == "split"
+                                      and tail_fn is not None)}, f)
 
-    image = jnp.asarray(np.random.default_rng(0).uniform(
-        -1, 1, shape).astype(np.float32))
     stats = benchmark(lambda img: compiled(dev_params, img), image,
                       warmup=args.warmup, iters=args.iters)
     print(json.dumps({"input": list(shape), "dtype": args.dtype,
+                      "form": form,
                       "ms_per_batch": round(stats["ms_per_batch"], 3),
                       "images_per_sec": round(stats["images_per_sec"], 3)}))
     return 0
