@@ -383,3 +383,43 @@ def test_depthwise_conv_coupling_and_surgery(rng):
     assert g2.node("dw").attrs["groups"] == kept
     out2 = _forward(g2, result.params, result.state, x_in)
     np.testing.assert_allclose(out2, pruned, rtol=1e-5, atol=1e-6)
+
+
+def test_dcfp_flops_search_depthwise_net(rng):
+    """The full EIC -> two-pool threshold -> FLOPs-targeted search on a
+    depthwise (MobileNet-style) net, with tracer verification enabled
+    ('verify' computes both derivations and errors on disagreement)."""
+    b = GraphBuilder("mbnet")
+    x = b.input("image")
+    x = b.conv(x, "backbone.stem", out_ch=16, kernel=3, stride=2)
+    x = b.bn(x, "backbone.stem.bn")
+    x = b.relu(x, "backbone.stem.r")
+    for i, ch in enumerate((24, 32)):
+        x = b.conv(x, f"backbone.b{i}.dw", out_ch=b.channels(x), kernel=3,
+                   groups=b.channels(x))
+        x = b.bn(x, f"backbone.b{i}.dw.bn")
+        x = b.relu(x, f"backbone.b{i}.dw.r")
+        x = b.conv(x, f"backbone.b{i}.pw", out_ch=ch, kernel=1, padding=0)
+        x = b.bn(x, f"backbone.b{i}.pw.bn")
+        x = b.relu(x, f"backbone.b{i}.pw.r")
+    pred = b.conv(x, "pred", out_ch=7, kernel=1, padding=0, bias=True)
+    g = b.finish([pred])
+    g.ignore_prune = []
+
+    params, state = init_graph(g, jax.random.key(2))
+    topo = trace_topology(g)
+    eic = {bn: np.random.default_rng(3).random(
+        g.node(conv).attrs["out_ch"]).astype(np.float32)
+        for bn, conv in topo.norm_conv.items()}
+    result, gp, report = prune_to_flops(
+        g, g, params, state, eic, prune_ratio=0.3, layer_keep=0.1,
+        except_start_keys=(), input_hw=(33, 33), trace="verify")
+    assert report["flops_ratio"] <= 0.7
+    # depthwise convs kept their 1:1 structure
+    for i in range(2):
+        dw = result.graph.node(f"backbone.b{i}.dw")
+        assert dw.attrs["groups"] == dw.attrs["in_ch"] == dw.attrs["out_ch"]
+    # pruned model runs
+    x_in = rng.standard_normal((1, 33, 33, 3)).astype(np.float32)
+    out = _forward(result.graph, result.params, result.state, x_in)
+    assert out.shape[-1] == 7
