@@ -119,6 +119,8 @@ def main(argv=None) -> int:
         path = os.path.join(args.save_dir, "model.stablehlo")
         if form == "single" and tail_fn is not None:
             export_serialized(single_fn, dev_params, shape, path)
+            from dcfp_tpu.engine.deploy import _remove_stale_tail
+            _remove_stale_tail(path)
         else:
             export_serialized_split(body_fn, tail_fn, dev_params, shape,
                                     path)

@@ -132,6 +132,15 @@ def main(argv=None) -> int:
                          "argmax export) or sliding tiles (--whole false "
                          "--ms 1 --flip false, deploy --output logits "
                          "--input-size <tile>)")
+    if args.use_aot and aot_whole and (args.longsize > 0
+                                       or args.shortsize > 0):
+        # the resize protocol argmaxes AFTER resizing logits back to the
+        # original resolution (reference evaluate.py:340-343); an argmax
+        # executable emits labels, which cannot be bilinear-resized
+        raise SystemExit("--use-aot whole-image serving emits argmax "
+                         "labels and cannot run the longsize/shortsize "
+                         "logits-resize protocol — drop "
+                         "--longsize/--shortsize or use the jit path")
     if args.use_aot:
         if not args.aot_path:
             raise SystemExit("--use-aot requires --aot-path "

@@ -59,9 +59,17 @@ def _epoch_order(dataset, seed: int, epoch: int, rank: int, world: int
                  ) -> np.ndarray:
     """Shared epoch permutation, stride-split across processes
     (DistributedSampler semantics: same permutation everywhere, rank r
-    takes every world-th element)."""
+    takes every world-th element; like torch's sampler the permutation
+    is padded from its own head to a multiple of world so EVERY rank
+    gets the same number of samples — unequal counts would desync epoch
+    boundaries and resample indices across processes)."""
     order = np.random.default_rng((seed, epoch)).permutation(len(dataset))
-    return order[rank::world] if world > 1 else order
+    if world <= 1:
+        return order
+    total = -(-len(order) // world) * world
+    if total != len(order):
+        order = np.concatenate([order, order[:total - len(order)]])
+    return order[rank::world]
 
 
 def _decode_worker(dataset, seed: int, rank: int, idx_q, res_q):
@@ -191,7 +199,19 @@ class TrainLoader:
         try:
             while not self._stop.is_set():
                 while want not in buffer:
-                    s, payload = res_q.get()
+                    try:
+                        s, payload = res_q.get(timeout=30)
+                    except queue.Empty:
+                        # a worker killed by the OS (OOM, segfault in a
+                        # decode library) never enqueues its serial —
+                        # detect the death instead of blocking forever
+                        dead = [p for p in self._procs if not p.is_alive()]
+                        if dead:
+                            raise RuntimeError(
+                                f"{len(dead)} decode worker(s) died "
+                                f"(exitcodes "
+                                f"{[p.exitcode for p in dead]})")
+                        continue
                     buffer[s] = payload
                 payload = buffer.pop(want)
                 want += 1

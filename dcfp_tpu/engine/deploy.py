@@ -95,7 +95,9 @@ def insert_barriers(graph: Graph, after: "Sequence[str]") -> Graph:
     new_nodes: Dict[str, Node] = {}
     barred = {name: f"{name}.barrier" for name in after}
     for n in g.nodes.values():
-        if n.name not in barred and any(i in barred for i in n.inputs):
+        # rewire EVERY consumer of a barred node — including nodes that
+        # are barrier targets themselves (two adjacent barred nodes)
+        if any(i in barred for i in n.inputs):
             n = n.replace(inputs=tuple(barred.get(i, i)
                                        for i in n.inputs))
         new_nodes[n.name] = n
@@ -433,6 +435,17 @@ def aot_compile_best(body_fn, tail_fn, params,
     return split, "split"
 
 
+def _remove_stale_tail(path: str) -> None:
+    """Remove a ``path + '.tail'`` left by a previous split export —
+    :func:`load_serialized` would otherwise chain the stale tail onto
+    the freshly exported body."""
+    import os
+    tail = path + ".tail"
+    if os.path.exists(tail):
+        os.remove(tail)
+        log.info("removed stale split tail %s", tail)
+
+
 def export_serialized(fn, params, input_shape: Tuple[int, ...], path: str,
                       input_dtype=jnp.float32) -> None:
     """Serialize the lowered computation (StableHLO) to disk — the
@@ -458,6 +471,7 @@ def export_serialized_split(body_fn, tail_fn, params,
     from jax import export as jexport
     export_serialized(body_fn, params, input_shape, path, input_dtype)
     if tail_fn is None:
+        _remove_stale_tail(path)
         return
     pspec = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)

@@ -476,8 +476,12 @@ class Predictor:
         th, tw = tile_size
         dev = image if isinstance(image, jax.Array) \
             else jnp.asarray(np.asarray(image))
+        # serialized executables are exported with f32 inputs
+        # (export_serialized input_dtype default; the executable casts
+        # to its compute dtype internally) — a self.dtype cast here
+        # would feed the fixed f32 input aval the wrong dtype
         logits = [run(aot_params,
-                      jnp.pad(dev[:, y1:y2, x1:x2].astype(self.dtype),
+                      jnp.pad(dev[:, y1:y2, x1:x2].astype(jnp.float32),
                               ((0, 0), (0, th - (y2 - y1)),
                                (0, tw - (x2 - x1)), (0, 0))))
                   for y1, x1, y2, x2 in boxes]
@@ -536,6 +540,13 @@ class Predictor:
                                      align_corners=align_corner)
             if whole:
                 probs = self.predict_whole(scaled)
+                if probs.ndim == 3:
+                    # a label-emitting (argmax) forward — e.g. an AOT
+                    # whole-image executable — cannot feed the
+                    # probability-averaging path
+                    raise RuntimeError(
+                        "predict_multiscale needs a logits forward; the "
+                        "served executable emits argmax label maps")
                 if flip:
                     fp = self.predict_whole(scaled[:, :, ::-1])
                     probs = 0.5 * (probs + fp[:, :, ::-1])
@@ -636,8 +647,16 @@ def evaluate(predictor: Predictor, loader: Iterable, *, num_classes: int,
             elapsed = time.perf_counter() - t0
             out = np.asarray(out)[:, :size_scale[0], :size_scale[1]]
         else:
-            # stage H2D outside the timed region (protocol)
-            image = jnp.asarray(image)
+            # stage H2D outside the timed region (protocol); under a
+            # mesh, stage straight into the image sharding so the
+            # per-scale forwards run SPMD instead of resharding from a
+            # single device every scale
+            if predictor._img_sharding is not None:
+                image = jax.device_put(
+                    np.asarray(image),
+                    predictor._fitted_sharding(image.shape))
+            else:
+                image = jnp.asarray(image)
             np.asarray(image.ravel()[0])
             t0 = time.perf_counter()
             out = predictor.predict_multiscale(
@@ -751,7 +770,12 @@ def evaluate_pipelined(predictor: Predictor, loader: Iterable, *,
             flush()
             t0 = time.perf_counter()
         image = batch["img"]
-        label = batch["label"]  # pipelined eval is for labeled val sets
+        if "label" not in batch:
+            raise ValueError(
+                "--pipeline accumulates a confusion matrix on device and "
+                "needs labeled batches; this split has no labels — use "
+                "the protocol loop (or evaluate_test for submissions)")
+        label = batch["label"]
         size_scale = image.shape[1:3]
         if align_corner:
             ph, pw = pad_inf(size_scale)

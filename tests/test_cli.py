@@ -224,6 +224,17 @@ def test_evaluate_serves_aot_artifact(cs_fixture, tmp_path_factory):
             "--use-aot", "true",
             "--aot-path", os.path.join(tile_dir, "model.stablehlo")])
 
+    # whole-image argmax serving cannot run the longsize/shortsize
+    # logits-resize protocol (evaluate.py:340-343) — rejected up front
+    with pytest.raises(SystemExit):
+        evaluate.main([
+            "--dataset", "CS", "--data-dir", "val", "--model", "simple",
+            "--backbone", "resnet50", "--backbone-para", BACKBONE_PARA,
+            "--align-corner", "false", "--whole", "true", "--ms", "1",
+            "--input-size", "48,64", "--shortsize", "64",
+            "--restore-from", ckpt_path, "--use-aot", "true",
+            "--aot-path", os.path.join(tile_dir, "model.stablehlo")])
+
 
 def test_ctx_pipeline_minimal(tmp_path_factory):
     """The shifted-label dataset family through the CLIs (CTX: 59

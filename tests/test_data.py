@@ -325,3 +325,26 @@ def test_train_loader_worker_error_surfaces(cs_fixture):
     with pytest.raises(RuntimeError, match="boom"):
         next(iter(loader))
     loader.stop()
+
+
+def test_rank_split_pads_to_equal_length(cs_fixture):
+    """With len(dataset) not divisible by world, every rank must still
+    see the same number of samples per epoch (torch DistributedSampler
+    pads from the head of the permutation) — unequal counts would
+    desync epoch boundaries across processes."""
+    from dcfp_tpu.data.loader import _epoch_order
+    root, manifest = cs_fixture
+    ds = CityscapesDataset(root, manifest, split="train",
+                           crop_size=(32, 32), seed=0)
+    assert len(ds) == 6
+    # drop to an odd length via a fake wrapper
+    class Odd:
+        def __len__(self):
+            return 7
+    counts = {r: len(_epoch_order(Odd(), seed=5, epoch=0, rank=r,
+                                  world=2)) for r in (0, 1)}
+    assert counts[0] == counts[1] == 4
+    # the union covers the full permutation; the pad duplicates one head
+    a = _epoch_order(Odd(), 5, 0, 0, 2)
+    b = _epoch_order(Odd(), 5, 0, 1, 2)
+    assert set(np.concatenate([a, b])) == set(range(7))

@@ -181,3 +181,36 @@ def test_deploy_autotune_picks_a_mode(rng):
                                    sample=img)
     assert tail2 is None and mode2 == "split"
     assert run2(p2, img).shape[0] == 1
+
+
+def test_stale_split_tail_removed_on_reexport(rng, tmp_path):
+    """Re-exporting into the same save path with a tail-less form must
+    remove the previous split's .tail — load_serialized would otherwise
+    chain the stale tail onto the new body."""
+    import os
+    from dcfp_tpu.engine.deploy import (export_serialized_split,
+                                        load_serialized,
+                                        make_split_inference_fn)
+    from dcfp_tpu.graph.apply import init_graph
+
+    g = _tail_graph(False)
+    params, state = init_graph(g, jax.random.key(0))
+    path = str(tmp_path / "model.stablehlo")
+    img = jnp.asarray(rng.standard_normal((1, 17, 21, 3))
+                      .astype(np.float32))
+
+    body_a, tail_a, p = make_split_inference_fn(g, params, state,
+                                                dtype=jnp.float32,
+                                                output="argmax")
+    export_serialized_split(body_a, tail_a, p, img.shape, path)
+    assert os.path.isfile(path + ".tail")
+
+    # re-export as a logits engine (no tail) into the same path
+    body_l, tail_l, p2 = make_split_inference_fn(g, params, state,
+                                                 dtype=jnp.float32,
+                                                 output="logits")
+    assert tail_l is None
+    export_serialized_split(body_l, tail_l, p2, img.shape, path)
+    assert not os.path.exists(path + ".tail")
+    out = load_serialized(path)(p2, img)
+    assert out.ndim == 4  # logits, not labels through a stale tail
