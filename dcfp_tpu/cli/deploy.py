@@ -118,9 +118,8 @@ def main(argv=None) -> int:
         os.makedirs(args.save_dir, exist_ok=True)
         path = os.path.join(args.save_dir, "model.stablehlo")
         if form == "single" and tail_fn is not None:
+            # export_serialized removes any stale .tail itself
             export_serialized(single_fn, dev_params, shape, path)
-            from dcfp_tpu.engine.deploy import _remove_stale_tail
-            _remove_stale_tail(path)
         else:
             export_serialized_split(body_fn, tail_fn, dev_params, shape,
                                     path)

@@ -68,7 +68,10 @@ def _epoch_order(dataset, seed: int, epoch: int, rank: int, world: int
         return order
     total = -(-len(order) // world) * world
     if total != len(order):
-        order = np.concatenate([order, order[:total - len(order)]])
+        # torch repeats the permutation as many times as needed, so this
+        # also covers world > len(dataset)
+        reps = -(-total // len(order))
+        order = np.tile(order, reps)[:total]
     return order[rank::world]
 
 
@@ -202,6 +205,10 @@ class TrainLoader:
                     try:
                         s, payload = res_q.get(timeout=30)
                     except queue.Empty:
+                        if self._stop.is_set():
+                            # cross-thread stop() terminated the workers
+                            # deliberately — a clean shutdown, not a death
+                            return
                         # a worker killed by the OS (OOM, segfault in a
                         # decode library) never enqueues its serial —
                         # detect the death instead of blocking forever

@@ -458,6 +458,10 @@ def export_serialized(fn, params, input_shape: Tuple[int, ...], path: str,
     blob = exported.serialize()
     with open(path, "wb") as f:
         f.write(blob)
+    # a .tail from a previous split export would be chained onto this
+    # fresh body by load_serialized; export_serialized_split rewrites it
+    # right after this call when the new export IS split
+    _remove_stale_tail(path)
     log.info("serialized %d-byte executable to %s", len(blob), path)
 
 
@@ -471,7 +475,6 @@ def export_serialized_split(body_fn, tail_fn, params,
     from jax import export as jexport
     export_serialized(body_fn, params, input_shape, path, input_dtype)
     if tail_fn is None:
-        _remove_stale_tail(path)
         return
     pspec = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)

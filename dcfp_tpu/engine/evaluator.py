@@ -342,6 +342,17 @@ class Predictor:
         return self._prep_jit(image, valid_hw[0], valid_hw[1])
 
     # -- input staging -------------------------------------------------------
+    def stage(self, image) -> jnp.ndarray:
+        """Transfer an NHWC host array to device: into the fitted image
+        sharding under a mesh, plain otherwise; jax.Arrays pass through.
+        The single staging path every eval mode funnels through."""
+        if isinstance(image, jax.Array):
+            return image
+        if self._img_sharding is not None:
+            return jax.device_put(np.asarray(image),
+                                  self._fitted_sharding(image.shape))
+        return jnp.asarray(np.asarray(image))
+
     def device_put(self, image: np.ndarray) -> jnp.ndarray:
         """Bucket-pad and transfer an NHWC image to device, synchronously
         (so a following timed region excludes the H2D copy, matching the
@@ -353,9 +364,7 @@ class Predictor:
             if (bh, bw) != (h, w):
                 image = np.pad(np.asarray(image),
                                ((0, 0), (0, bh - h), (0, bw - w), (0, 0)))
-        dev = (jax.device_put(np.asarray(image),
-                              self._fitted_sharding(image.shape))
-               if self._img_sharding is not None else jnp.asarray(image))
+        dev = self.stage(image)
         np.asarray(jax.tree.leaves(dev)[0].ravel()[0])  # sync H2D
         return dev
 
@@ -459,12 +468,7 @@ class Predictor:
             if not hasattr(self, "_sliding_cache"):
                 self._sliding_cache = {}
             self._sliding_cache[key] = fn
-        if not isinstance(image, jax.Array):
-            image = (jax.device_put(np.asarray(image),
-                                    self._fitted_sharding(image.shape))
-                     if self._img_sharding is not None
-                     else jnp.asarray(np.asarray(image)))
-        return fn(self.params, self.state, image)
+        return fn(self.params, self.state, self.stage(image))
 
     def _predict_sliding_aot(self, image, tile_size, num_classes, boxes):
         """Sliding eval through a tile-shaped serialized executable: one
@@ -526,13 +530,7 @@ class Predictor:
         # plain transfer (no bucket padding: per-scale shapes derive
         # from the true (h, w) and compile per scale regardless); under
         # a mesh the upload stages straight into the image sharding
-        if isinstance(image, jax.Array):
-            dev = image
-        elif self._img_sharding is not None:
-            dev = jax.device_put(np.asarray(image),
-                                 self._fitted_sharding(image.shape))
-        else:
-            dev = jnp.asarray(np.asarray(image))
+        dev = self.stage(image)
         acc = jnp.zeros((n, h, w, num_classes), jnp.float32)
         for scale in scales:
             hs, ws = int(h * float(scale)), int(w * float(scale))
@@ -651,12 +649,7 @@ def evaluate(predictor: Predictor, loader: Iterable, *, num_classes: int,
             # mesh, stage straight into the image sharding so the
             # per-scale forwards run SPMD instead of resharding from a
             # single device every scale
-            if predictor._img_sharding is not None:
-                image = jax.device_put(
-                    np.asarray(image),
-                    predictor._fitted_sharding(image.shape))
-            else:
-                image = jnp.asarray(image)
+            image = predictor.stage(image)
             np.asarray(image.ravel()[0])
             t0 = time.perf_counter()
             out = predictor.predict_multiscale(

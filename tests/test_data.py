@@ -348,3 +348,12 @@ def test_rank_split_pads_to_equal_length(cs_fixture):
     a = _epoch_order(Odd(), 5, 0, 0, 2)
     b = _epoch_order(Odd(), 5, 0, 1, 2)
     assert set(np.concatenate([a, b])) == set(range(7))
+
+    # world > len(dataset): torch repeats the permutation — every rank
+    # must still get exactly one sample (zero-batch ranks would hang
+    # collectives)
+    class Tiny:
+        def __len__(self):
+            return 3
+    tiny_counts = [len(_epoch_order(Tiny(), 5, 0, r, 8)) for r in range(8)]
+    assert tiny_counts == [1] * 8
