@@ -102,6 +102,22 @@ def test_full_pipeline(cs_fixture, tmp_path_factory):
         "--warmup", "1", "--iters", "2"]) == 0
     assert os.path.exists(os.path.join(deploy_dir, "model.stablehlo"))
 
+    # 7. submission PNGs from the PRUNED model (the reference's
+    # evaluate_test.py consumes channel_cfg the same way, :73-108)
+    test_lst = os.path.join(os.environ["DCFP_CS_ROOT"], "sub_test.lst")
+    with open(test_lst, "w") as f:
+        f.write("leftImg8bit/val/img_0000.png\n")
+    os.environ["DCFP_CS_TEST_LIST"] = test_lst
+    from dcfp_tpu.cli import evaluate_test
+    sub_dir = os.path.join(work, "submission")
+    assert evaluate_test.main([
+        "--dataset", "CS", "--data-dir", "test", "--model", "simple",
+        "--backbone", "resnet50", "--backbone-para", BACKBONE_PARA,
+        "--align-corner", "false", "--whole", "true", "--ms", "1",
+        "--restore-from", ft_ckpt, "--channel-cfg", cfg_path,
+        "--output-dir", sub_dir]) == 0
+    assert os.listdir(os.path.join(sub_dir, "raw"))
+
 
 def test_evaluate_test_submission(cs_fixture, tmp_path_factory):
     """Test-split inference saves raw-id + palette PNGs
