@@ -70,7 +70,9 @@ def add_data_args(p: argparse.ArgumentParser, split="train"):
     p.add_argument("--shortsize", type=int, default=-1)
     p.add_argument("--data-para", type=json_para, default={})
     p.add_argument("--num-workers", type=int, default=2,
-                   help="prefetch depth of the loader thread")
+                   help="decode worker processes when >1 (reference "
+                        "DataLoader workers, engine.py:81-115); "
+                        "otherwise one prefetch thread")
 
 
 def add_train_data_args(p: argparse.ArgumentParser):

@@ -60,7 +60,8 @@ def main(argv=None) -> int:
     # multi-process: each rank writes the PNGs of its stride of the split
     loader = EvalLoader(dataset, batch_size=args.batch_size,
                         rank=jax.process_index(),
-                        world=jax.process_count())
+                        world=jax.process_count(),
+                        num_workers=args.num_workers)
 
     model = build_model_from_args(args, dataset.num_classes, deepsup=False)
     graph = model.graph

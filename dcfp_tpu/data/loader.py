@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import itertools
 import multiprocessing as mp
+import os
 import queue
 import threading
 from typing import Any, Dict, Iterator, List, Optional
@@ -244,11 +245,34 @@ class TrainLoader:
         self._procs = []
 
 
+def _eval_decode_worker(dataset, idx_q, res_q):
+    """Eval pool worker: resolve (serial, sample_idxs) tickets to
+    collated batches (no augmentation randomness to reseed)."""
+    while True:
+        item = idx_q.get()
+        if item is None:
+            return
+        serial, idxs = item
+        try:
+            res_q.put((serial, collate([dataset[int(i)] for i in idxs])))
+        except Exception as e:
+            import pickle
+            try:
+                pickle.dumps(e)
+            except Exception:
+                e = RuntimeError(
+                    f"eval decode worker failed: {type(e).__name__}: {e}")
+            res_q.put((serial, e))
+
+
 class EvalLoader:
     """Batch iterator over a val/test split (batch 1 by default —
     evaluation shapes vary per image), with a prefetch thread so host
     image decode overlaps device inference (a 1024x2048 PNG decodes in
     ~100 ms — comparable to the whole-image forward itself).
+    ``num_workers > 1`` decodes in OS processes instead (the reference's
+    test DataLoader workers, engine.py:95-115) — batches still come out
+    in order via a reorder buffer.
 
     ``rank``/``world`` stride-split the split across processes for
     multi-process eval (each process accumulates a partial confusion
@@ -256,23 +280,83 @@ class EvalLoader:
     evaluate.py:370-372)."""
 
     def __init__(self, dataset, batch_size: int = 1, prefetch: int = 2,
-                 rank: int = 0, world: int = 1):
+                 rank: int = 0, world: int = 1, num_workers: int = 0,
+                 use_processes: Optional[bool] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.prefetch = prefetch
         self.rank = rank
         self.world = world
+        self.num_workers = num_workers
+        import os
+        self.use_processes = (num_workers > 1 and (os.cpu_count() or 1) > 1
+                              if use_processes is None else use_processes)
 
     def _indices(self):
         return range(self.rank, len(self.dataset), self.world)
 
-    def _gen(self):
+    def _chunks(self):
         idxs = list(self._indices())
         for start in range(0, len(idxs), self.batch_size):
-            chunk = idxs[start:start + self.batch_size]
+            yield idxs[start:start + self.batch_size]
+
+    def _gen(self):
+        for chunk in self._chunks():
             yield collate([self.dataset[int(i)] for i in chunk])
 
+    def _mp_iter(self):
+        ctx = mp.get_context("fork" if "fork" in mp.get_all_start_methods()
+                             else "spawn")
+        idx_q = ctx.Queue()
+        res_q = ctx.Queue(maxsize=self.num_workers + max(self.prefetch, 1))
+        procs = [ctx.Process(target=_eval_decode_worker,
+                             args=(self.dataset, idx_q, res_q), daemon=True)
+                 for _ in range(self.num_workers)]
+        for p in procs:
+            p.start()
+        total = 0
+        for serial, chunk in enumerate(self._chunks()):
+            idx_q.put((serial, chunk))
+            total += 1
+        for _ in procs:
+            idx_q.put(None)
+        buffer: Dict[int, Any] = {}
+        try:
+            for want in range(total):
+                while want not in buffer:
+                    try:
+                        s, payload = res_q.get(timeout=30)
+                    except queue.Empty:
+                        # workers exit cleanly (code 0) after draining
+                        # the ticket sentinel — only a nonzero exit is
+                        # a death; a fully-exited pool with a missing
+                        # serial means a result was lost
+                        crashed = [p for p in procs
+                                   if not p.is_alive()
+                                   and p.exitcode not in (0, None)]
+                        if crashed:
+                            raise RuntimeError(
+                                f"{len(crashed)} eval decode worker(s) "
+                                f"died (exitcodes "
+                                f"{[p.exitcode for p in crashed]})")
+                        if all(not p.is_alive() for p in procs):
+                            raise RuntimeError(
+                                "eval decode pool exited without "
+                                f"producing batch {want}")
+                        continue
+                    buffer[s] = payload
+                payload = buffer.pop(want)
+                if isinstance(payload, Exception):
+                    raise payload
+                yield payload
+        finally:
+            for p in procs:
+                p.terminate()
+
     def __iter__(self):
+        if self.use_processes and self.num_workers > 1:
+            yield from self._mp_iter()
+            return
         if self.prefetch <= 0:
             yield from self._gen()
             return

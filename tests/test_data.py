@@ -357,3 +357,31 @@ def test_rank_split_pads_to_equal_length(cs_fixture):
             return 3
     tiny_counts = [len(_epoch_order(Tiny(), 5, 0, r, 8)) for r in range(8)]
     assert tiny_counts == [1] * 8
+
+
+def test_eval_loader_worker_error_surfaces(cs_fixture):
+    """An eval decode-worker failure — even an unpicklable exception —
+    surfaces to the consumer (loader.py _eval_decode_worker fallback)."""
+    root, manifest = cs_fixture
+    ds = _ExplodingDataset(CityscapesDataset(
+        root, manifest, split="val", crop_size=(32, 32), seed=3))
+    loader = EvalLoader(ds, batch_size=1, num_workers=2,
+                        use_processes=True)
+    with pytest.raises(RuntimeError, match="boom"):
+        next(iter(loader))
+
+
+def test_eval_loader_worker_pool_matches_sequential(cs_fixture):
+    """EvalLoader's decode-process pool yields byte-identical batches in
+    the same order as the sequential path (reference test DataLoader
+    workers, engine.py:95-115)."""
+    root, manifest = cs_fixture
+    ds = CityscapesDataset(root, manifest, split="val",
+                           crop_size=(32, 32), seed=0)
+    seq = list(EvalLoader(ds, batch_size=1, prefetch=0))
+    par = list(EvalLoader(ds, batch_size=1, num_workers=2,
+                          use_processes=True))
+    assert len(seq) == len(par) > 0
+    for a, b in zip(seq, par):
+        np.testing.assert_array_equal(a["img"], b["img"])
+        np.testing.assert_array_equal(a["label"], b["label"])
