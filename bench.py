@@ -33,6 +33,30 @@ if _cache and _cache != "0":
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 
+def _backend_or_die(timeout_s: float) -> str:
+    """Resolve the JAX backend with a watchdog: on a tunneled TPU
+    platform, backend init can hang indefinitely when the tunnel is
+    wedged (observed 9+ h outages).  Emit an explicit error JSON line
+    and exit nonzero instead of hanging the driver."""
+    import threading
+    out = {}
+    probe = threading.Thread(
+        target=lambda: out.setdefault("backend", jax.default_backend()),
+        daemon=True)
+    probe.start()
+    probe.join(timeout_s)
+    if "backend" not in out:
+        print(json.dumps({
+            "metric": "deeplabv3_r101_50pct_flops_1025x2049_bf16_img_per_s",
+            "value": 0.0, "unit": "img/s", "vs_baseline": 0.0,
+            "error": f"TPU backend init hung >{timeout_s:.0f}s "
+                     "(tunnel wedged; see docs/ROADMAP.md environment "
+                     "quirks)"}))
+        sys.stdout.flush()
+        os._exit(1)
+    return out["backend"]
+
+
 def main():
     from dcfp_tpu.engine.deploy import aot_compile_best, benchmark, \
         make_split_inference_fn
@@ -41,8 +65,10 @@ def main():
     from dcfp_tpu.prune.eic import prunable_bn_names
     from dcfp_tpu.prune.search import prune_to_flops
 
+    backend = _backend_or_die(
+        float(os.environ.get("DCFP_BENCH_INIT_TIMEOUT", "900")))
     small = (os.environ.get("DCFP_BENCH_SMALL") == "1"
-             or jax.default_backend() == "cpu")
+             or backend == "cpu")
     if small:
         shape, warmup, iters = (1, 257, 513, 3), 2, 5
     else:
