@@ -240,7 +240,11 @@ def main(argv=None) -> int:
                      compute_dtype=compute_dtype(args),
                      normalize=(dataset.mean, dataset.std),
                      ignore_label=dataset.ignore_label,
-                     handle_signals=True,  # preemption grace: snapshot
+                     # preemption grace: snapshot + clean stop; on
+                     # multi-process pods the stop is a cross-rank
+                     # consensus at log boundaries so no rank deserts
+                     # the SPMD program mid-collective
+                     handle_signals=True,
                      metrics_file=args.metrics_file)
 
     batches = device_batches(iter(loader), mesh, spatial > 1)

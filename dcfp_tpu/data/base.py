@@ -26,6 +26,19 @@ import numpy as np
 
 from dcfp_tpu.utils.logger import get_logger
 
+
+def normalize_f32(image, mean, std):
+    """The protocol's normalize op sequence (/255, -mean, /std in that
+    order — reference Base.py:91-96), shared by the host augmentation
+    pipeline, the evaluator's compact-uint8 host path, and (same op
+    order in jnp) ``Predictor.prep_raw`` so compact items stay
+    bitwise-equal to classic f32 items.  Works on numpy and jax arrays:
+    ``image`` must already be float32 (a fresh array for numpy)."""
+    image = image / 255.0
+    image -= mean
+    image /= std
+    return image
+
 log = get_logger()
 
 
@@ -143,10 +156,7 @@ class BaseDataset:
     # -- augmentations -----------------------------------------------------------
     def input_transform(self, image: np.ndarray) -> np.ndarray:
         image = image.astype(np.float32)[:, :, ::-1]  # BGR -> RGB
-        image = image / 255.0
-        image -= self.mean
-        image /= self.std
-        return image
+        return normalize_f32(image, self.mean, self.std)
 
     def generate_scale_label(self, image, label):
         f_scale = 0.5 + self.rng.integers(0, 16) / 10.0

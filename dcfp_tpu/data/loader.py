@@ -24,6 +24,7 @@ import multiprocessing as mp
 import os
 import queue
 import threading
+import time
 from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
@@ -86,24 +87,106 @@ def _decode_worker(dataset, seed: int, rank: int, idx_q, res_q):
         if item is None:
             return
         epoch, b, serial, idxs = item
-        try:
+
+        def make():
+            nonlocal current_epoch
             if epoch != current_epoch:
                 dataset.pre_processing(epoch)
                 current_epoch = epoch
-            res_q.put((serial, _make_batch(dataset, seed, epoch, b, rank,
-                                           idxs)))
-        except Exception as e:  # surface to the consumer
-            # mp.Queue.put pickles in a background feeder thread, so an
-            # unpicklable exception would fail silently there and strand
-            # the consumer waiting on this serial forever — verify
-            # picklability HERE and degrade to a plain RuntimeError
-            import pickle
+            return _make_batch(dataset, seed, epoch, b, rank, idxs)
+
+        _safe_put(res_q, serial, make)
+
+
+def _safe_put(res_q, serial, thunk, what: str = "decode worker"):
+    """Resolve one ticket and enqueue the batch — or the failure.
+    mp.Queue.put pickles in a background feeder thread, so an
+    unpicklable exception would fail silently there and strand the
+    consumer waiting on this serial forever — verify picklability HERE
+    and degrade to a plain RuntimeError."""
+    try:
+        res_q.put((serial, thunk()))
+    except Exception as e:  # surface to the consumer
+        import pickle
+        try:
+            pickle.dumps(e)
+        except Exception:
+            e = RuntimeError(f"{what} failed: {type(e).__name__}: {e}")
+        res_q.put((serial, e))
+
+
+def _fork_ctx():
+    """Decode-worker start method.  Default fork: it keeps the dataset
+    state CoW-shared and skips re-import, and workers only run
+    numpy/cv2 so a live JAX client in the parent is not touched.  fork
+    from a threaded parent can in principle deadlock the child (Python
+    3.12 warns); `_pool_consume` detects that as a stall, and
+    ``DCFP_DECODE_START_METHOD=spawn`` (or forkserver) selects the
+    thread-safe method — workers re-import, so first batch costs ~1 s
+    more per worker."""
+    method = os.environ.get("DCFP_DECODE_START_METHOD")
+    if not method:
+        method = ("fork" if "fork" in mp.get_all_start_methods()
+                  else "spawn")
+    return mp.get_context(method)
+
+
+def _pool_consume(procs, res_q, refill, n_expected=None, stop_event=None,
+                  finite=False):
+    """Ordered consumer over a decode-process pool, shared by
+    TrainLoader and EvalLoader: a reorder buffer restores ticket order,
+    dead workers (OOM, segfault — they never enqueue their serial) are
+    detected by liveness polling, and a pool that is alive but
+    producing nothing for ``DCFP_DECODE_STALL_TIMEOUT`` seconds
+    (default 600) raises instead of spinning forever — fork() from a
+    threaded parent can deadlock a child before its first ticket.
+
+    ``refill`` is called once per yielded batch to keep the inflight
+    window full (no-op for finite pools that enqueue everything
+    upfront).  ``finite`` pools have workers that exit 0 after draining
+    the sentinel, so only nonzero exits are deaths there; an infinite
+    pool's workers never exit voluntarily."""
+    stall = float(os.environ.get("DCFP_DECODE_STALL_TIMEOUT", "600"))
+    buffer: Dict[int, Any] = {}
+    want = 0
+    last_progress = time.monotonic()
+    while n_expected is None or want < n_expected:
+        while want not in buffer:
             try:
-                pickle.dumps(e)
-            except Exception:
-                e = RuntimeError(
-                    f"decode worker failed: {type(e).__name__}: {e}")
-            res_q.put((serial, e))
+                s, payload = res_q.get(timeout=30)
+                last_progress = time.monotonic()
+            except queue.Empty:
+                if stop_event is not None and stop_event.is_set():
+                    # cross-thread stop() terminated the workers
+                    # deliberately — a clean shutdown, not a death
+                    return
+                dead = [p for p in procs if not p.is_alive()
+                        and (not finite or p.exitcode not in (0, None))]
+                if dead:
+                    raise RuntimeError(
+                        f"{len(dead)} decode worker(s) died (exitcodes "
+                        f"{[p.exitcode for p in dead]})")
+                if finite and all(not p.is_alive() for p in procs):
+                    raise RuntimeError(
+                        f"decode pool exited without producing batch "
+                        f"{want}")
+                if time.monotonic() - last_progress > stall:
+                    alive = sum(p.is_alive() for p in procs)
+                    raise RuntimeError(
+                        f"decode pool made no progress for {stall:.0f}s "
+                        f"with {alive} live worker(s) — likely a worker "
+                        "wedged before its first ticket (fork from a "
+                        "threaded parent can deadlock the child); retry "
+                        "with num_workers<=1 or raise "
+                        "DCFP_DECODE_STALL_TIMEOUT")
+                continue
+            buffer[s] = payload
+        payload = buffer.pop(want)
+        want += 1
+        if isinstance(payload, Exception):
+            raise payload
+        refill()
+        yield payload
 
 
 class TrainLoader:
@@ -124,7 +207,7 @@ class TrainLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
-        self.prefetch = max(prefetch, 1)
+        self.prefetch = prefetch
         self.drop_last = drop_last
         self.num_workers = num_workers
         self.rank = rank
@@ -157,7 +240,7 @@ class TrainLoader:
 
     # -- single prefetch thread ----------------------------------------------
     def _thread_iter(self):
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        q: queue.Queue = queue.Queue(maxsize=max(self.prefetch, 1))
 
         def worker():
             try:
@@ -177,13 +260,10 @@ class TrainLoader:
 
     # -- multi-process decode pool -------------------------------------------
     def _mp_iter(self):
-        # fork keeps the dataset state CoW-shared and skips re-import;
-        # workers only run numpy/cv2 so a live JAX client in the parent
-        # is not touched
-        ctx = mp.get_context("fork" if "fork" in mp.get_all_start_methods()
-                             else "spawn")
+        ctx = _fork_ctx()
         idx_q = ctx.Queue()
-        res_q = ctx.Queue(maxsize=self.num_workers + self.prefetch)
+        inflight = self.num_workers + max(self.prefetch, 1)
+        res_q = ctx.Queue(maxsize=inflight)
         self._procs = [
             ctx.Process(target=_decode_worker,
                         args=(self.dataset, self.seed, self.rank, idx_q,
@@ -194,40 +274,16 @@ class TrainLoader:
 
         tickets = self._tickets()
         serial = itertools.count()  # monotone reorder key across epochs
-        inflight = self.num_workers + self.prefetch
-        for _ in range(inflight):
+
+        def refill():
             e, b, idxs = next(tickets)
             idx_q.put((e, b, next(serial), idxs))
-        buffer: Dict[int, Any] = {}
-        want = 0
+
+        for _ in range(inflight):
+            refill()
         try:
-            while not self._stop.is_set():
-                while want not in buffer:
-                    try:
-                        s, payload = res_q.get(timeout=30)
-                    except queue.Empty:
-                        if self._stop.is_set():
-                            # cross-thread stop() terminated the workers
-                            # deliberately — a clean shutdown, not a death
-                            return
-                        # a worker killed by the OS (OOM, segfault in a
-                        # decode library) never enqueues its serial —
-                        # detect the death instead of blocking forever
-                        dead = [p for p in self._procs if not p.is_alive()]
-                        if dead:
-                            raise RuntimeError(
-                                f"{len(dead)} decode worker(s) died "
-                                f"(exitcodes "
-                                f"{[p.exitcode for p in dead]})")
-                        continue
-                    buffer[s] = payload
-                payload = buffer.pop(want)
-                want += 1
-                if isinstance(payload, Exception):
-                    raise payload
-                e, b, idxs = next(tickets)
-                idx_q.put((e, b, next(serial), idxs))
-                yield payload
+            yield from _pool_consume(self._procs, res_q, refill,
+                                     stop_event=self._stop)
         finally:
             self.stop()
 
@@ -253,16 +309,9 @@ def _eval_decode_worker(dataset, idx_q, res_q):
         if item is None:
             return
         serial, idxs = item
-        try:
-            res_q.put((serial, collate([dataset[int(i)] for i in idxs])))
-        except Exception as e:
-            import pickle
-            try:
-                pickle.dumps(e)
-            except Exception:
-                e = RuntimeError(
-                    f"eval decode worker failed: {type(e).__name__}: {e}")
-            res_q.put((serial, e))
+        _safe_put(res_q, serial,
+                  lambda: collate([dataset[int(i)] for i in idxs]),
+                  what="eval decode worker")
 
 
 class EvalLoader:
@@ -305,8 +354,7 @@ class EvalLoader:
             yield collate([self.dataset[int(i)] for i in chunk])
 
     def _mp_iter(self):
-        ctx = mp.get_context("fork" if "fork" in mp.get_all_start_methods()
-                             else "spawn")
+        ctx = _fork_ctx()
         idx_q = ctx.Queue()
         res_q = ctx.Queue(maxsize=self.num_workers + max(self.prefetch, 1))
         procs = [ctx.Process(target=_eval_decode_worker,
@@ -315,40 +363,16 @@ class EvalLoader:
         for p in procs:
             p.start()
         total = 0
+        # tickets are tiny index lists — enqueue the whole finite split
+        # upfront, then one exit sentinel per worker
         for serial, chunk in enumerate(self._chunks()):
             idx_q.put((serial, chunk))
             total += 1
         for _ in procs:
             idx_q.put(None)
-        buffer: Dict[int, Any] = {}
         try:
-            for want in range(total):
-                while want not in buffer:
-                    try:
-                        s, payload = res_q.get(timeout=30)
-                    except queue.Empty:
-                        # workers exit cleanly (code 0) after draining
-                        # the ticket sentinel — only a nonzero exit is
-                        # a death; a fully-exited pool with a missing
-                        # serial means a result was lost
-                        crashed = [p for p in procs
-                                   if not p.is_alive()
-                                   and p.exitcode not in (0, None)]
-                        if crashed:
-                            raise RuntimeError(
-                                f"{len(crashed)} eval decode worker(s) "
-                                f"died (exitcodes "
-                                f"{[p.exitcode for p in crashed]})")
-                        if all(not p.is_alive() for p in procs):
-                            raise RuntimeError(
-                                "eval decode pool exited without "
-                                f"producing batch {want}")
-                        continue
-                    buffer[s] = payload
-                payload = buffer.pop(want)
-                if isinstance(payload, Exception):
-                    raise payload
-                yield payload
+            yield from _pool_consume(procs, res_q, lambda: None,
+                                     n_expected=total, finite=True)
         finally:
             for p in procs:
                 p.terminate()

@@ -154,11 +154,13 @@ class _CountCompiles:
     """First-party compiled-program counter.
 
     Wraps a jitted callable and records the distinct (shape, dtype)
-    signatures of its *image* argument (the last positional arg) — for a
-    fixed Predictor the other jit cache keys (param/state trees, sharding,
-    statics) never change, so distinct image signatures == compiles.
-    Replaces the private ``fn._cache_size()`` probe which silently broke
-    across jax versions.
+    signatures of its *image* argument (the last array positional arg)
+    plus any hashable static positional args (the split tail's static
+    ``out_hw`` tuple compiles separately per value even at one logits
+    shape) — for a fixed Predictor the remaining jit cache keys
+    (param/state trees, sharding) never change, so distinct keys ==
+    compiles.  Replaces the private ``fn._cache_size()`` probe which
+    silently broke across jax versions.
     """
 
     def __init__(self, fn):
@@ -166,10 +168,17 @@ class _CountCompiles:
         self._seen = set()
 
     def __call__(self, *args):
-        # last ARRAY positional arg (the split tail takes a trailing
-        # static out_hw tuple)
         img = next(a for a in reversed(args) if hasattr(a, "shape"))
-        self._seen.add((tuple(img.shape), str(img.dtype)))
+        key = [tuple(img.shape), str(img.dtype)]
+        for a in args:
+            if hasattr(a, "shape") or isinstance(a, (dict, list)):
+                continue  # arrays keyed above; pytrees are fixed
+            try:
+                hash(a)
+            except TypeError:
+                continue
+            key.append(a)
+        self._seen.add(tuple(key))
         return self._fn(*args)
 
     @property
@@ -332,8 +341,8 @@ class Predictor:
 
             @jax.jit
             def prep(img, vh, vw):
-                x = img.astype(jnp.float32) / 255.0
-                x = (x - mean) / std
+                from dcfp_tpu.data.base import normalize_f32
+                x = normalize_f32(img.astype(jnp.float32), mean, std)
                 rows = jnp.arange(x.shape[1])[None, :, None, None]
                 cols = jnp.arange(x.shape[2])[None, None, :, None]
                 return jnp.where((rows < vh) & (cols < vw), x, 0.0)
@@ -604,10 +613,10 @@ def evaluate(predictor: Predictor, loader: Iterable, *, num_classes: int,
                 raise ValueError("uint8 (compact) eval items need "
                                  "Predictor(normalize=(mean, std))")
             mean, std = predictor.normalize
-            # the identical f32 op sequence as data.base.input_transform
-            image = np.asarray(image, np.float32) / 255.0
-            image -= np.asarray(mean, np.float32)
-            image /= np.asarray(std, np.float32)
+            from dcfp_tpu.data.base import normalize_f32
+            image = normalize_f32(np.asarray(image, np.float32),
+                                  np.asarray(mean, np.float32),
+                                  np.asarray(std, np.float32))
         label = batch.get("label")
         metas = batch.get("img_meta", [{}] * image.shape[0])
         orig_hw = image.shape[1:3]
@@ -796,7 +805,10 @@ def evaluate_pipelined(predictor: Predictor, loader: Iterable, *,
         cm_dev = confusion_update_device(cm_dev, out, gt,
                                          num_classes=num_classes,
                                          ignore_label=ignore_label)
-        since_flush += 1
+        since_flush += image.shape[0]  # images, not batches: the int32
+        # overflow bound is per-image pixel counts (a 1024x2048 image is
+        # ~2.1M counts; 128 images stay ~8x under 2^31 even if one
+        # confusion cell takes every pixel)
         if t0 is not None:
             n_timed += image.shape[0]
         if since_flush >= flush_every:

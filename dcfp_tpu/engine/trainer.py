@@ -201,13 +201,22 @@ class TrainLoop:
                                      ignore_label=self.ignore_label)
         interrupted = {"sig": None}
         restore = {}
+        # Multi-process SPMD: a signal delivered to ONE rank must not
+        # make that rank desert the program while peers block in the
+        # next collective.  Ranks therefore agree on stopping via a tiny
+        # process_allgather at log boundaries (deterministic step
+        # counts, so every rank dispatches the same consensus program);
+        # the grace latency is bounded by log_every steps.
+        multiproc = jax.process_count() > 1
         if self.handle_signals:
             import signal
 
             def _on_signal(signum, frame):
                 interrupted["sig"] = signum
-                log.warning("signal %d: will snapshot and stop after the "
-                            "current step", signum)
+                log.warning("signal %d: will snapshot and stop %s", signum,
+                            "at the next log boundary (multi-process "
+                            "consensus)" if multiproc
+                            else "after the current step")
 
             for s in (signal.SIGTERM, signal.SIGINT):
                 try:
@@ -229,9 +238,11 @@ class TrainLoop:
                 rng, sub = jax.random.split(rng)
                 state, metrics = train_step(state, batch, sub)
                 pending.append(metrics["loss"])
-                if ((step + 1) % self.log_every == 0
-                        or step + 1 == self.num_steps
-                        or interrupted["sig"] is not None):
+                boundary = ((step + 1) % self.log_every == 0
+                            or step + 1 == self.num_steps
+                            or (not multiproc
+                                and interrupted["sig"] is not None))
+                if boundary:
                     losses = np.asarray(jnp.stack(pending))  # ONE sync
                     if not np.isfinite(losses).all():  # NaN guard
                         bad = step + 1 - len(losses) + int(
@@ -258,19 +269,34 @@ class TrainLoop:
                         metrics_f.flush()
                     t0, last = time.time(), step + 1
                     pending = []
+                stop = interrupted["sig"] is not None
+                if multiproc:
+                    # collective decision: every rank dispatches the
+                    # consensus at the same boundaries, none elsewhere
+                    if boundary and self.handle_signals:
+                        from jax.experimental import multihost_utils
+                        stop = bool(np.max(
+                            multihost_utils.process_allgather(
+                                np.int32(stop))))
+                    else:
+                        stop = False
                 in_window = (step + 1) >= self.save_steps
+                saved_this_step = False
                 if self.snapshot_hook and (
                         (in_window
                          and (step + 1) % self.save_pred_every == 0)
                         or step + 1 == self.num_steps):
                     self.snapshot_hook(state, step + 1)
-                if interrupted["sig"] is not None:
-                    if self.snapshot_hook:
+                    saved_this_step = True
+                if stop:
+                    # don't serialize the same step twice when the signal
+                    # lands on a step the save window already snapshotted
+                    if self.snapshot_hook and not saved_this_step:
                         self.snapshot_hook(state, step + 1)
                     log.warning("stopped at step %d on signal %s; resume "
                                 "with --resume <snapshot> "
                                 "--resume-full-state true", step + 1,
-                                interrupted["sig"])
+                                interrupted["sig"] or "(peer process)")
                     break
         finally:
             if metrics_f is not None:

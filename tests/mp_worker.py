@@ -143,9 +143,40 @@ def main() -> int:
     np.testing.assert_allclose(summed, want, rtol=1e-12,
                                err_msg="allreduce_confusion mismatch")
 
+    # ---- preemption consensus: SIGTERM to ONE rank only ----------------
+    # A signal landing on a single rank must not desert the SPMD program
+    # (peers would block in the next collective); TrainLoop agrees on
+    # stopping via process_allgather at log boundaries, so BOTH ranks
+    # snapshot and stop at the SAME step.
+    import signal as _signal
+    from dcfp_tpu.engine.trainer import TrainLoop
+    snap_steps = []
+    loop = TrainLoop(model=model, criterion=crit, tx=tx, num_steps=12,
+                     lr_schedule=lambda s: jnp.asarray(0.01),
+                     save_pred_every=10 ** 9, save_steps=10 ** 9,
+                     snapshot_hook=lambda st, s: snap_steps.append(s),
+                     log_every=2, handle_signals=True)
+
+    def gen():
+        i = 0
+        while True:
+            b = batches[i % len(batches)]
+            local = {"img": b["img"][sl], "label": b["label"][sl]}
+            if i == 3 and pid == 1:  # mid-run, rank 1 ONLY
+                os.kill(os.getpid(), _signal.SIGTERM)
+            yield shard_batch(mesh, local, spatial=False)
+            i += 1
+
+    params2, bn2 = init_graph(model.graph, jax.random.key(0))
+    state2 = replicate_tree(mesh, create_train_state(model, params2, bn2,
+                                                     tx))
+    loop.run(state2, gen(), jax.random.key(1))
+    assert snap_steps and snap_steps[-1] < 12, snap_steps
+
     with open(os.path.join(outdir, f"proc{pid}.txt"), "w") as f:
         f.write("OK\n")
         f.write(" ".join(f"{x:.6f}" for x in dist_losses))
+        f.write(f"\nstop={snap_steps[-1]}")
     return 0
 
 

@@ -53,6 +53,10 @@ def test_two_process_cpu_cluster(tmp_path):
         assert p.returncode == 0, f"proc{pid} failed:\n{detail}"
         assert detail.startswith("OK"), f"proc{pid}:\n{detail}"
     # both processes observed the identical distributed loss trajectory
-    l0 = (tmp_path / "proc0.txt").read_text().splitlines()[1]
-    l1 = (tmp_path / "proc1.txt").read_text().splitlines()[1]
-    assert l0 == l1, (l0, l1)
+    lines0 = (tmp_path / "proc0.txt").read_text().splitlines()
+    lines1 = (tmp_path / "proc1.txt").read_text().splitlines()
+    assert lines0[1] == lines1[1], (lines0[1], lines1[1])
+    # and agreed on the SAME preemption stop step although the SIGTERM
+    # was delivered to rank 1 only (log-boundary consensus)
+    assert lines0[2].startswith("stop="), lines0[2]
+    assert lines0[2] == lines1[2], (lines0[2], lines1[2])
