@@ -69,10 +69,13 @@ def add_data_args(p: argparse.ArgumentParser, split="train"):
     p.add_argument("--longsize", type=int, default=-1)
     p.add_argument("--shortsize", type=int, default=-1)
     p.add_argument("--data-para", type=json_para, default={})
-    p.add_argument("--num-workers", type=int, default=2,
+    p.add_argument("--num-workers", type=int,
+                   default=4 if split == "train" else 8,
                    help="decode worker processes when >1 (reference "
-                        "DataLoader workers, engine.py:81-115); "
-                        "otherwise one prefetch thread")
+                        "DataLoader workers + defaults, engine.py:81-115, "
+                        "train.py:64, evaluate.py:46); otherwise one "
+                        "prefetch thread; single-core hosts auto-fall "
+                        "back to the thread")
 
 
 def add_train_data_args(p: argparse.ArgumentParser):
