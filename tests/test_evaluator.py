@@ -107,6 +107,23 @@ def test_sliding_equals_whole_for_pointwise_model(rng):
     np.testing.assert_allclose(slid, whole, rtol=1e-4, atol=1e-5)
 
 
+def test_sliding_pads_undersized_scaled_images(rng):
+    """ms scale 0.5 shrinks the image BELOW the tile size; the protocol
+    zero-pads the tile to (th, tw) before the forward and crops the
+    logits back (reference evaluate.py:166-171).  A pointwise model
+    makes sliding exactly equal whole-image inference, including that
+    border path, so ms+sliding must reproduce ms+whole labels."""
+    g = pointwise_model()
+    p = make_predictor(g)
+    img = rng.standard_normal((1, 40, 60, 3), dtype=np.float32)
+    kw = dict(num_classes=6, flip=False, align_corner=False)
+    whole = np.asarray(p.predict_multiscale(img, (32, 32), [0.5, 1.0],
+                                            whole=True, **kw))
+    slid = np.asarray(p.predict_multiscale(img, (32, 32), [0.5, 1.0],
+                                           whole=False, **kw))
+    np.testing.assert_array_equal(slid, whole)
+
+
 def test_multiscale_single_scale_equals_whole(rng):
     g = pointwise_model()
     p = make_predictor(g)
