@@ -124,6 +124,27 @@ def test_sliding_pads_undersized_scaled_images(rng):
     np.testing.assert_array_equal(slid, whole)
 
 
+@pytest.mark.parametrize("hw,tile,ac,flip", [
+    ((37, 53), (24, 24), False, False),
+    ((64, 48), (32, 32), True, True),
+    ((31, 70), (32, 32), False, True),
+])
+def test_protocol_mode_equality_sweep(rng, hw, tile, ac, flip):
+    """Pointwise-model property sweep over sizes x align_corner x flip:
+    ms+sliding must equal ms+whole at every combination (covers odd
+    sizes, pad_inf's stride+1 rule, undersized scaled tiles, and flip
+    averaging interacting with the overlap-add normalization)."""
+    g = pointwise_model()
+    p = make_predictor(g)
+    img = rng.standard_normal((1, *hw, 3), dtype=np.float32)
+    kw = dict(num_classes=6, flip=flip, align_corner=ac)
+    whole = np.asarray(p.predict_multiscale(img, tile, [0.75, 1.0],
+                                            whole=True, **kw))
+    slid = np.asarray(p.predict_multiscale(img, tile, [0.75, 1.0],
+                                           whole=False, **kw))
+    np.testing.assert_array_equal(slid, whole)
+
+
 def test_multiscale_single_scale_equals_whole(rng):
     g = pointwise_model()
     p = make_predictor(g)
