@@ -74,6 +74,50 @@ def test_sgd_momentum_wd_matches_torch(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_adamw_no_decay_matches_torch(rng):
+    """Our optax AdamW chain (scale_by_adam -> decoupled decay -> poly
+    lr) must reproduce torch.optim.AdamW, including the reference's
+    no_decay keyword groups (optimizer.py:23-49): 'bias' paths get
+    weight_decay 0 via the mask, kernels decay."""
+    import torch
+    steps, base_lr, wd = 5, 1e-3, 0.05
+    sched = poly_warmup_schedule(base_lr, 100, 0.9, warmup=2)
+    w0 = rng.standard_normal((4, 3), dtype=np.float32)
+    b0 = rng.standard_normal((3,), dtype=np.float32)
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    tb = torch.nn.Parameter(torch.from_numpy(b0.copy()))
+    topt = torch.optim.AdamW(
+        [{"params": [tw], "weight_decay": wd},
+         {"params": [tb], "weight_decay": 0.0}],
+        lr=base_lr, betas=(0.9, 0.999))
+    gws = [rng.standard_normal((4, 3), dtype=np.float32)
+           for _ in range(steps)]
+    gbs = [rng.standard_normal((3,), dtype=np.float32)
+           for _ in range(steps)]
+    for i, (gw, gb) in enumerate(zip(gws, gbs)):
+        for group in topt.param_groups:
+            group["lr"] = float(sched(jnp.asarray(i)))
+        tw.grad = torch.from_numpy(gw.copy())
+        tb.grad = torch.from_numpy(gb.copy())
+        topt.step()
+
+    p = {"w": {"kernel": jnp.asarray(w0), "bias": jnp.asarray(b0)}}
+    tx = build_optimizer(optim="adamw", learning_rate=base_lr,
+                         weight_decay=wd, betas="0.9,0.999",
+                         num_steps=100, power=0.9, warmup=2,
+                         no_decay="bias", params=p)
+    s = tx.init(p)
+    for gw, gb in zip(gws, gbs):
+        upd, s = tx.update({"w": {"kernel": jnp.asarray(gw),
+                                  "bias": jnp.asarray(gb)}}, s, p)
+        p = optax.apply_updates(p, upd)
+    np.testing.assert_allclose(np.asarray(p["w"]["kernel"]),
+                               tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p["w"]["bias"]),
+                               tb.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
 def test_train_step_descends_and_eic_updates(rng):
     model = tiny_model(deepsup=True)
     params, bn_state = init_graph(model.graph, jax.random.key(0))
