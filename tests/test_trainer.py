@@ -74,6 +74,25 @@ def test_sgd_momentum_wd_matches_torch(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_poly_warmup_schedule_matches_reference_formula():
+    """Golden vs the reference's own lr_poly/lr_warmup/adjust_learning_rate
+    composition (optimizer.py:60-79), reimplemented verbatim here."""
+    def ref_lr(base_lr, i, max_iter, power, warmup, warmup_ratio=1e-6):
+        lr = base_lr * ((1 - float(i) / max_iter) ** power)
+        if warmup > 0 and i < warmup:
+            lr = lr * (1 - (1 - float(i) / warmup) * (1 - warmup_ratio))
+        return lr
+
+    for warmup in (-1, 0, 5):
+        sched = poly_warmup_schedule(0.01, 40, power=0.9, warmup=warmup)
+        got = [float(sched(jnp.asarray(i))) for i in range(40)]
+        want = [ref_lr(0.01, i, 40, 0.9, warmup) for i in range(40)]
+        # atol covers f32-vs-f64 rounding of (1 - warmup_ratio) at the
+        # step-0 warmup floor, where lr itself is ~base_lr * 1e-6
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9,
+                                   err_msg=f"warmup={warmup}")
+
+
 def test_adamw_no_decay_matches_torch(rng):
     """Our optax AdamW chain (scale_by_adam -> decoupled decay -> poly
     lr) must reproduce torch.optim.AdamW, including the reference's
