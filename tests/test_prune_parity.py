@@ -239,3 +239,32 @@ def test_reference_consumes_our_pruned_artifacts(head, tmp_path, rng):
     np.testing.assert_allclose(np.asarray(ours_out["pred"]),
                                np.transpose(want, (0, 2, 3, 1)),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+def test_flops_counter_matches_reference_counter():
+    """Our analytic counter vs the reference's forward-hook counter
+    (utils/flops_counter.py:35) on the full DeepLabV3-R50: both FLOPs
+    and params match EXACTLY (measured: 12,445,961,523 MACs /
+    41,270,483 params at 129x129 on both sides).  The prune search
+    stops on a FLOPs ratio (prune.py:112-116), so this certifies the
+    same --prune-ratio lands on the same widths."""
+    _import_reference_pruners()
+    import networks
+    from utils.flops_counter import get_model_complexity_info
+    from dcfp_tpu.utils.flops import count_flops_params
+
+    ref = networks.deeplabv3.Seg_Model(
+        backbone="resnet50", backbone_para=dict(BPARA, pretrained=False),
+        model_para={}, num_classes=19, align_corner=True, criterion=None,
+        deepsup=False)
+    ref.eval()
+    want_f, want_p = get_model_complexity_info(
+        ref, (3, 129, 129), print_per_layer_stat=False, as_strings=False)
+
+    ours = build_model("deeplabv3", backbone="resnet50",
+                       backbone_para=dict(BPARA), num_classes=19,
+                       align_corner=True, deepsup=False)
+    got_f, got_p = count_flops_params(ours.graph, (129, 129))
+    assert got_p == want_p, (got_p, want_p)
+    assert got_f == want_f, (got_f, want_f)
