@@ -332,6 +332,28 @@ def test_distance_transform_edges_match_reference(rng, radius_min):
     np.testing.assert_array_equal(got_bin, want_bin)
 
 
+@pytest.mark.parametrize("ratio", [0.02, 0.005])
+def test_mask_to_boundary_matches_reference(rng, ratio):
+    """mask_to_boundary vs the reference's own erosion implementation
+    (edge_utils.py:98-127) on random multi-class masks with ignore
+    regions — elementwise identical, incl. the border-padding rule and
+    the dilation-from-diagonal rounding."""
+    import os, sys
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference repo not mounted")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from utils import edge_utils as ref
+    from dcfp_tpu.utils.edge import mask_to_boundary as ours
+
+    mask = rng.integers(0, 6, (47, 61)).astype(np.int64)
+    mask[rng.random((47, 61)) < 0.15] = 255
+    want = ref.mask_to_boundary(mask.copy(), 6, dilation_ratio=ratio,
+                                background=255)
+    got = ours(mask.copy(), 6, dilation_ratio=ratio, background=255)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_label_path_agrees_with_logits_argmax(rng):
     """The deploy-backed label path (BN folded, fused tail) must agree
     with argmax over the raw-graph logits everywhere except exact
