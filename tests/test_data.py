@@ -385,3 +385,31 @@ def test_eval_loader_worker_pool_matches_sequential(cs_fixture):
     for a, b in zip(seq, par):
         np.testing.assert_array_equal(a["img"], b["img"])
         np.testing.assert_array_equal(a["label"], b["label"])
+
+
+def test_get_label_matches_reference_weights():
+    """Balance weight maps vs the reference's own get_label
+    (Base.py:73-89), both balance modes, methods called unbound on the
+    same stub instance — the GSRL loss consumes these maps, so they
+    must be numerically identical."""
+    import sys
+    import types
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference repo not mounted")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from datasets.Base import BaseDataSet as RefBase
+    from dcfp_tpu.data.base import BaseDataset as OurBase
+
+    r = np.random.default_rng(7)
+    label = r.integers(0, 6, (33, 41)).astype(np.int64)
+    label[r.random((33, 41)) < 0.2] = 255
+    for balance in (1, 2):
+        stub = types.SimpleNamespace(balance=balance, ignore_label=255,
+                                     num_classes=6, beta=0.99)
+        meta = {"class": 3}
+        want = RefBase.get_label(stub, label, meta)
+        got = OurBase.get_label(stub, label, meta)
+        np.testing.assert_array_equal(got["ori"], want["ori"])
+        np.testing.assert_allclose(got["weight"], want["weight"],
+                                   rtol=1e-6, err_msg=f"balance={balance}")
