@@ -84,6 +84,12 @@ def shard_batch(mesh: Mesh, batch: dict, spatial: bool = True) -> dict:
             s = batch_sharding(mesh, spatial)
         elif hasattr(v, "ndim") and v.ndim == 3:
             s = label_sharding(mesh, spatial)
+        elif hasattr(v, "ndim") and v.ndim == 2:
+            # per-image vectors (compact 'pad' triples, 'weight_class'):
+            # batch-leading, so they shard over 'data' like the batch —
+            # replicating them would mis-assemble the global array in
+            # multi-process jobs where each process holds different rows
+            s = NamedSharding(mesh, P("data"))
         elif isinstance(v, dict):
             out[k] = shard_batch(mesh, v, spatial)
             continue

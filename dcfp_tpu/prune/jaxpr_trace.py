@@ -65,6 +65,9 @@ class _JaxprTracer:
         self.conv_out_ch: Dict[str, int] = {}
         self.norm_conv: Dict[str, str] = {}
         self.env: Dict[Any, Any] = {}
+        # spaces joined elementwise with unprunable channels (width pinned
+        # by the other operand) — resolved into output_spaces at assembly
+        self.pinned: List[str] = []
 
     # -- env ------------------------------------------------------------
     def read(self, atom):
@@ -87,6 +90,9 @@ class _JaxprTracer:
         out: List[Seg] = []
         for (ca, sa), (cb, _) in zip(a, b):
             if ca is None or cb is None:
+                keep = cb if ca is None else ca
+                if keep is not None:
+                    self.pinned.append(keep)
                 out.append((None, sa))
             else:
                 self.uf.union(ca, cb)
@@ -408,7 +414,7 @@ def trace_topology_jaxpr(graph, params, state,
     norm_conv = dict(tracer.norm_conv)
     conv_norm = {v: k for k, v in norm_conv.items()}
 
-    output_spaces = set()
+    output_spaces = {uf.find(c) for c in tracer.pinned}
     for var in jaxpr.outvars:
         v = tracer.read(var)
         if isinstance(v, _Act):

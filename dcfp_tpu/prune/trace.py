@@ -46,7 +46,9 @@ class Topology:
     conv_norm: Dict[str, str]
     # conv name -> input segmentation (post-grouping)
     in_segments: Dict[str, List[Segment]]
-    # spaces whose channels feed a graph output through no conv (protected)
+    # protected spaces: channels feed a graph output through no conv, or
+    # are joined elementwise with unprunable channels (their width is
+    # pinned from outside, so the pruner must keep them whole)
     output_spaces: List[str]
 
 
@@ -73,6 +75,9 @@ def trace_topology(graph: Graph) -> Topology:
     uf = _UnionFind()
     # descriptor: list of (source, size); source is conv name or None
     desc: Dict[str, List[Tuple[Optional[str], int]]] = {}
+    # spaces joined elementwise with unprunable channels: their width is
+    # pinned by the other operand, so they must not shrink
+    pinned: List[str] = []
 
     def unify(a, b, where):
         if len(a) != len(b) or any(sa != sb for (_, sa), (_, sb)
@@ -83,6 +88,9 @@ def trace_topology(graph: Graph) -> Topology:
         out = []
         for (ca, sa), (cb, _) in zip(a, b):
             if ca is None or cb is None:
+                keep = cb if ca is None else ca
+                if keep is not None:
+                    pinned.append(keep)
                 out.append((None, sa))  # unprunable wins
             else:
                 uf.union(ca, cb)
@@ -153,8 +161,9 @@ def trace_topology(graph: Graph) -> Topology:
     conv_norm = {v: k for k, v in norm_conv.items()}
 
     # spaces reaching a graph output without an intervening conv are
-    # protected (their channel count is externally visible, e.g. logits)
-    output_spaces = []
+    # protected (their channel count is externally visible, e.g. logits),
+    # as are spaces pinned by an elementwise join with unprunable channels
+    output_spaces = [uf.find(c) for c in pinned]
     for out in graph.outputs:
         for sp, size in {(c, s) for c, s in
                          [(seg.space, seg.size) for seg in resolved(

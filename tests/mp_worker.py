@@ -143,6 +143,24 @@ def main() -> int:
     np.testing.assert_allclose(summed, want, rtol=1e-12,
                                err_msg="allreduce_confusion mismatch")
 
+    # ---- compact-batch 2-D arrays assemble over 'data', not replicated -
+    # 'pad' triples and 'weight_class' vectors are per-image: each process
+    # holds different rows, so a replicated spec would mis-assemble the
+    # global array (or get the global shape wrong entirely)
+    g_pad = np.arange(gb * 3, dtype=np.int32).reshape(gb, 3)
+    g_wc = np.arange(gb * 6, dtype=np.float32).reshape(gb, 6)
+    compact = {"img": batches[0]["img"][sl],
+               "label": {"ori": batches[0]["label"][sl],
+                         "weight_class": g_wc[sl]},
+               "pad": g_pad[sl]}
+    sharded_c = shard_batch(mesh, compact, spatial=False)
+    for arr, want in ((sharded_c["pad"], g_pad),
+                      (sharded_c["label"]["weight_class"], g_wc)):
+        assert arr.shape == want.shape, (arr.shape, want.shape)
+        for shard in arr.addressable_shards:
+            np.testing.assert_array_equal(np.asarray(shard.data),
+                                          want[shard.index])
+
     # ---- preemption consensus: SIGTERM to ONE rank only ----------------
     # A signal landing on a single rank must not desert the SPMD program
     # (peers would block in the next collective); TrainLoop agrees on

@@ -423,3 +423,40 @@ def test_dcfp_flops_search_depthwise_net(rng):
     x_in = rng.standard_normal((1, 33, 33, 3)).astype(np.float32)
     out = _forward(result.graph, result.params, result.state, x_in)
     assert out.shape[-1] == 7
+
+
+def test_input_joined_space_is_protected(rng):
+    """A space joined elementwise with unprunable channels (the graph
+    input) has its width pinned from outside — both tracers must protect
+    it, and surgery must keep the deployed graph runnable."""
+    b = GraphBuilder("pin")
+    x = b.input("image", channels=3)
+    c = b.conv(x, "c1", out_ch=3, kernel=3)
+    bn = b.bn(c, "bn1")
+    a = b.add_([x, bn], "a")
+    z = b.conv(a, "c2", out_ch=8, kernel=3)
+    z = b.bn(z, "bn2")
+    pred = b.conv(z, "pred", out_ch=4, kernel=1, padding=0, bias=True)
+    g = b.finish([pred])
+
+    topo = trace_topology(g)
+    assert topo.conv_space["c1"] in topo.output_spaces
+
+    from dcfp_tpu.prune.jaxpr_trace import trace_topology_jaxpr
+    params, state = init_graph(g, jax.random.key(1))
+    t_jx = trace_topology_jaxpr(g, params, state,
+                                input_shape=(1, 17, 17, 3))
+    assert t_jx.conv_space["c1"] in t_jx.output_spaces
+
+    # a mask that would shrink c1 must be overridden to ones by the
+    # protection, leaving the add well-formed after surgery
+    pruner = FixedMaskPruner({
+        "c1": np.array([1, 0, 1], bool),
+        "c2": np.array([1, 0, 1, 1, 0, 1, 1, 1], bool),
+    })
+    res = pruner.prune_model(g, params, state)
+    assert res.graph.node("c1").attrs["out_ch"] == 3
+    assert res.graph.node("c2").attrs["out_ch"] == 6
+    x_in = rng.standard_normal((1, 17, 17, 3)).astype(np.float32)
+    out = _forward(res.graph, res.params, res.state, x_in)
+    assert out.shape == (1, 17, 17, 4)
