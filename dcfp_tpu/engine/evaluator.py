@@ -36,7 +36,7 @@ import numpy as np
 
 from dcfp_tpu.graph.apply import graph_apply
 from dcfp_tpu.ops.resize import resize_bilinear
-from dcfp_tpu.utils.edge import mask_to_boundary
+from dcfp_tpu.utils.edge import mask_to_boundary_device
 from dcfp_tpu.utils.logger import get_logger
 
 log = get_logger()
@@ -693,14 +693,13 @@ def evaluate(predictor: Predictor, loader: Iterable, *, num_classes: int,
             seg_gt = np.asarray(label, np.int64)
             sp = seg_pred.astype(np.int64)
             if iou_type == "boundary":
-                sp = sp.copy()
-                seg_gt = seg_gt.copy()
-                for i in range(sp.shape[0]):
-                    sp[i] = mask_to_boundary(sp[i], num_classes,
-                                             dilation_ratio, ignore_label)
-                    seg_gt[i] = mask_to_boundary(seg_gt[i], num_classes,
-                                                 dilation_ratio,
-                                                 ignore_label)
+                # one batched device erosion over pred AND gt (the host
+                # per-class cv2 loop is ~2*N*C*46 erosions per batch and
+                # made boundary eval host-bound)
+                stacked = mask_to_boundary_device(
+                    np.concatenate([sp, seg_gt]), num_classes,
+                    dilation_ratio, ignore_label).astype(np.int64)
+                sp, seg_gt = stacked[:sp.shape[0]], stacked[sp.shape[0]:]
             cm += confusion_matrix(seg_gt, sp, num_classes, ignore_label)
 
         if idx >= fps_warmup:

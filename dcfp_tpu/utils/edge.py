@@ -93,3 +93,75 @@ def mask_to_boundary(mask: np.ndarray, num_classes: int,
         boundary[i] = binary_to_boundary(onehot[i],
                                          dilation_ratio=dilation_ratio)
     return onehot_to_mask(boundary.astype(int), background=background)
+
+
+def _boundary_device_fn():
+    """Build (once) the jitted batched boundary transform.  Static args
+    key the jit cache, so eval loops reuse one compilation per shape."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit,
+                       static_argnames=("num_classes", "dilation",
+                                        "background"))
+    def run(masks, num_classes, dilation, background):
+        h, w = masks.shape[1], masks.shape[2]
+        classes = jnp.arange(num_classes, dtype=jnp.int32)
+        onehot = (masks.astype(jnp.int32)[:, None]
+                  == classes[None, :, None, None])
+        # 1-px zero border (the reference's copyMakeBorder value=0): the
+        # first erosion eats the image edge; beyond it cv2's default
+        # border is non-eroding, which the +inf window-pad identity
+        # reproduces
+        x = jnp.pad(onehot.astype(jnp.float32),
+                    ((0, 0), (0, 0), (1, 1), (1, 1)))
+
+        def erode(_, x):
+            for dims in ((1, 1, 3, 1), (1, 1, 1, 3)):
+                pad = tuple((d // 2, d // 2) for d in dims)
+                x = jax.lax.reduce_window(x, jnp.inf, jax.lax.min,
+                                          window_dimensions=dims,
+                                          window_strides=(1, 1, 1, 1),
+                                          padding=pad)
+            return x
+
+        eroded = jax.lax.fori_loop(0, dilation, erode, x)[
+            :, :, 1:h + 1, 1:w + 1]
+        boundary = onehot & (eroded < 0.5)
+        any_b = jnp.any(boundary, axis=1)
+        idx = jnp.argmax(boundary, axis=1).astype(jnp.int32)
+        return jnp.where(any_b, idx, background)
+
+    return run
+
+
+_boundary_run = None
+
+
+def mask_to_boundary_device(masks, num_classes: int,
+                            dilation_ratio: float = 0.02,
+                            background: int = 255) -> np.ndarray:
+    """Batched :func:`mask_to_boundary` on device: (N, H, W) int masks ->
+    (N, H, W) int32 boundary-only masks, identical to the host path.
+
+    The reference's per-class ``cv2.erode`` (3x3 ones, ``dilation``
+    iterations over a 1-px zero border, edge_utils.py:98-116) is an
+    iterated 3x3 morphological min: here one separable min-pool
+    (3x1 then 1x3 — exact for min) over the whole (N, C, H, W) one-hot
+    stack per iteration, with +inf window padding reproducing cv2's
+    non-eroding default border.  ~46 iterations at 1024x2048
+    (0.02 * diag) x num_classes single-image erosions made boundary-IoU
+    eval host-bound; on device the stack erodes in a few ms."""
+    global _boundary_run
+    if _boundary_run is None:
+        _boundary_run = _boundary_device_fn()
+    import jax.numpy as jnp
+
+    masks = jnp.asarray(masks)
+    h, w = masks.shape[1], masks.shape[2]
+    dilation = max(int(round(dilation_ratio * np.sqrt(h ** 2 + w ** 2))),
+                   1)
+    return np.asarray(_boundary_run(masks, num_classes, dilation,
+                                    background))

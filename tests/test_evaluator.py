@@ -354,6 +354,26 @@ def test_mask_to_boundary_matches_reference(rng, ratio):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("ratio", [0.02, 0.005])
+def test_mask_to_boundary_device_matches_host(rng, ratio):
+    """The batched on-device erosion (separable min-pool) must reproduce
+    the host cv2 path elementwise — random multi-class masks with ignore
+    regions, solid regions, and a tiny dilation where rounding matters."""
+    from dcfp_tpu.utils.edge import mask_to_boundary_device
+
+    masks = rng.integers(0, 6, (3, 47, 61)).astype(np.int64)
+    masks[rng.random((3, 47, 61)) < 0.15] = 255
+    masks[1, 10:30, 10:40] = 2  # a solid block: interior must hollow out
+    masks[2] = 255              # all-ignore image: stays all background
+
+    got = mask_to_boundary_device(masks, 6, dilation_ratio=ratio,
+                                  background=255)
+    for i in range(masks.shape[0]):
+        want = mask_to_boundary(masks[i].copy(), 6, dilation_ratio=ratio,
+                                background=255)
+        np.testing.assert_array_equal(got[i], want)
+
+
 def test_label_path_agrees_with_logits_argmax(rng):
     """The deploy-backed label path (BN folded, fused tail) must agree
     with argmax over the raw-graph logits everywhere except exact
