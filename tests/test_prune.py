@@ -254,6 +254,72 @@ def test_hrnet_topology_and_prune_smoke(rng):
     assert outs["pred"].shape == (1, 32, 32, 7)
 
 
+def test_hrnet_surgery_exactness(rng):
+    """HRNet is the pruning stress test (SURVEY §7 hard part 1: dozens
+    of coupled spaces through the dense cross-resolution fusion
+    lattice).  Beyond the shape smoke above, assert the strong
+    invariant the fuzzer proves on random DAGs: physical surgery
+    reproduces the full model with the pruned channels' BN scale+bias
+    zeroed, EXACTLY (reference surgery: channel_pruner.py:907-948)."""
+    model = build_model("simple", backbone="hrnetv2w48",
+                        backbone_para={"width": 18}, num_classes=7,
+                        deepsup=False)
+    g = model.graph
+    topo = trace_topology(g)
+    params, state = init_graph(g, jax.random.key(1))
+
+    # randomize BN affine + running stats so zeroed-channel emulation
+    # is a strong check (fresh-init scale=1/bias=0 would hide errors)
+    params = jax.tree.map(np.asarray, params)
+    state = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+             for k, v in state.items()}
+    for n in g.bn_nodes():
+        ch = g.node(n.name).attrs["channels"]
+        params[n.name]["scale"] = rng.standard_normal(ch).astype(np.float32)
+        params[n.name]["bias"] = rng.standard_normal(ch).astype(np.float32)
+        state[n.name]["mean"] = rng.standard_normal(ch).astype(np.float32)
+        state[n.name]["var"] = (np.abs(rng.standard_normal(ch)) + 0.5
+                                ).astype(np.float32)
+
+    # random mask per prunable coupling space (>=1 channel kept)
+    fixed = {}
+    for space, convs in topo.spaces.items():
+        if space in topo.output_spaces:
+            continue
+        if any(topo.conv_norm.get(c) is None for c in convs):
+            continue
+        ch = g.node(next(iter(convs))).attrs["out_ch"]
+        m = rng.random(ch) > 0.4
+        if not m.any():
+            m[int(rng.integers(ch))] = True
+        for conv in convs:
+            fixed[conv] = m
+    pruner = FixedMaskPruner(fixed)
+
+    masks = pruner.space_masks(g, topo)
+    zeroed = jax.tree.map(np.copy, params)
+    for space, m in masks.items():
+        for conv in topo.spaces[space]:
+            bn = topo.conv_norm.get(conv)
+            if bn is not None:
+                zeroed[bn]["scale"][~m] = 0.0
+                zeroed[bn]["bias"][~m] = 0.0
+
+    x = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    full, _ = graph_apply(g, zeroed, state, {"image": jnp.asarray(x)},
+                          train=False)
+    result = pruner.prune_model(g, zeroed, state)
+    pruned, _ = graph_apply(result.graph, result.params, result.state,
+                            {"image": jnp.asarray(x)}, train=False)
+    np.testing.assert_allclose(np.asarray(pruned["pred"]),
+                               np.asarray(full["pred"]),
+                               rtol=1e-4, atol=1e-5)
+    # the lattice was actually cut hard
+    total_in = sum(n.attrs["out_ch"] for n in g.conv_nodes())
+    total_out = sum(n.attrs["out_ch"] for n in result.graph.conv_nodes())
+    assert total_out < 0.85 * total_in
+
+
 def test_flops_search(rng):
     train_model = build_model("deeplabv3", backbone="resnet50",
                               num_classes=19, deepsup=True)
