@@ -72,6 +72,11 @@ def get_parser() -> argparse.ArgumentParser:
                    help="torch backbone checkpoint (.pth) to convert; "
                         "'auto' resolves via the path registry")
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--remat", type=int, default=0,
+                   help="split the forward into N jax.checkpoint "
+                        "segments: backward activation memory drops "
+                        "~Nx for ~1/3 extra FLOPs (0/1 = off). Use "
+                        "when batch x crop exceeds chip HBM")
     p.add_argument("--metrics-file", type=str, default=None,
                    help="append JSONL training metrics (one line per log "
                         "window) for external dashboards")
@@ -245,7 +250,8 @@ def main(argv=None) -> int:
                      # consensus at log boundaries so no rank deserts
                      # the SPMD program mid-collective
                      handle_signals=True,
-                     metrics_file=args.metrics_file)
+                     metrics_file=args.metrics_file,
+                     remat_segments=args.remat)
 
     batches = device_batches(iter(loader), mesh, spatial > 1)
     try:

@@ -97,7 +97,8 @@ def make_train_step(model: SegModel, criterion: Criterion,
                     tx: optax.GradientTransformation, *,
                     eic_r: float = 0.999, compute_dtype=jnp.float32,
                     fuse_loss_tail: bool = True, normalize=None,
-                    ignore_label: int = 255) -> Callable:
+                    ignore_label: int = 255,
+                    remat_segments: int = 0) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
     ``batch``: {'img': NHWC float, 'label': (N,H,W) int or
@@ -112,6 +113,11 @@ def make_train_step(model: SegModel, criterion: Criterion,
     tower (upsample + softmax CE, fwd+bwd) cost ~80 ms of the 359 ms
     Cityscapes-recipe step; channels-first keeps W as the lane axis.
     Numerically identical — same interpolation matrices, same reductions.
+
+    ``remat_segments`` > 1 wraps that many contiguous graph segments in
+    ``jax.checkpoint``: activation HBM for the backward drops by roughly
+    the segment count at ~1/3 extra FLOPs — use it when batch x
+    resolution exceeds chip memory (see graph_apply's docstring).
     """
     graph = model.graph
 
@@ -128,7 +134,8 @@ def make_train_step(model: SegModel, criterion: Criterion,
         img, labels = expand_batch(batch, normalize, model.num_classes,
                                    ignore_label, compute_dtype)
         outs, new_bn = graph_apply(run_graph, params, bn_state,
-                                   {"image": img}, train=True, rng=rng)
+                                   {"image": img}, train=True, rng=rng,
+                                   remat_segments=remat_segments)
         if tails:
             hw = img.shape[1:3]
             preds = {}
@@ -191,6 +198,7 @@ class TrainLoop:
     ignore_label: int = 255
     handle_signals: bool = False  # SIGTERM/SIGINT -> snapshot + return
     metrics_file: Optional[str] = None  # JSONL, one line per log window
+    remat_segments: int = 0  # >1: jax.checkpoint segments in the forward
 
     def run(self, state: TrainState, batches, rng: jax.Array,
             start_step: int = 0) -> TrainState:
@@ -198,7 +206,8 @@ class TrainLoop:
                                      eic_r=self.eic_r,
                                      compute_dtype=self.compute_dtype,
                                      normalize=self.normalize,
-                                     ignore_label=self.ignore_label)
+                                     ignore_label=self.ignore_label,
+                                     remat_segments=self.remat_segments)
         interrupted = {"sig": None}
         restore = {}
         # Multi-process SPMD: a signal delivered to ONE rank must not

@@ -162,10 +162,72 @@ def _dropout(x, node: Node, rng, train: bool):
     return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 
 
+def _exec_node(node: Node, vals: Dict[str, jnp.ndarray], params: Params,
+               state: State, train: bool, drop_rngs: Dict[str, jax.Array],
+               input_hw: Tuple[int, int]):
+    """Execute one non-input node.  Returns (y, bn_update_or_None)."""
+    op = node.op
+    ns = None
+    if op == "conv":
+        y = _conv(vals[node.inputs[0]], node, params[node.name])
+    elif op == "bn":
+        y, ns = _bn(vals[node.inputs[0]], node, params[node.name],
+                    state[node.name], train)
+    elif op == "relu":
+        y = jax.nn.relu(vals[node.inputs[0]])
+    elif op == "sigmoid":
+        y = jax.nn.sigmoid(vals[node.inputs[0]])
+    elif op == "mul":
+        y = vals[node.inputs[0]]
+        for other in node.inputs[1:]:
+            y = y * vals[other]
+    elif op == "add":
+        y = vals[node.inputs[0]]
+        for other in node.inputs[1:]:
+            y = y + vals[other]
+    elif op == "concat":
+        y = jnp.concatenate([vals[i] for i in node.inputs], axis=-1)
+    elif op == "maxpool":
+        a = node.attrs
+        y = max_pool(vals[node.inputs[0]], a["kernel"], a["stride"],
+                     a["padding"])
+    elif op == "avgpool":
+        y = adaptive_avg_pool(vals[node.inputs[0]],
+                              node.attrs["out_size"])
+    elif op == "globalpool":
+        y = global_avg_pool(vals[node.inputs[0]])
+    elif op == "resize":
+        x = vals[node.inputs[0]]
+        a = node.attrs
+        if "like" in a:
+            ref = vals[a["like"]]
+            target = (ref.shape[-3], ref.shape[-2])
+        elif a.get("to_input"):
+            target = input_hw
+        else:
+            target = (int(round(x.shape[-3] * a["scale"])),
+                      int(round(x.shape[-2] * a["scale"])))
+        y = resize_bilinear(x, target, a["align_corners"])
+    elif op == "dropout":
+        y = _dropout(vals[node.inputs[0]], node,
+                     drop_rngs.get(node.name), train)
+    elif op == "identity":
+        y = vals[node.inputs[0]]
+    elif op == "barrier":
+        # deploy-time materialization point: stops XLA from fusing
+        # the producer into every consumer tile (see
+        # engine/deploy.insert_barriers for when this wins)
+        y = jax.lax.optimization_barrier(vals[node.inputs[0]])
+    else:
+        raise NotImplementedError(f"op {op!r} ({node.name})")
+    return y, ns
+
+
 def graph_apply(graph: Graph, params: Params, state: State,
                 inputs: Dict[str, jnp.ndarray], *, train: bool = False,
                 rng: Optional[jax.Array] = None,
-                input_hw: Optional[Tuple[int, int]] = None
+                input_hw: Optional[Tuple[int, int]] = None,
+                remat_segments: int = 0
                 ) -> Tuple[Dict[str, jnp.ndarray], State]:
     """Run the graph.  Returns ({output_name: tensor}, new_state).
 
@@ -176,6 +238,16 @@ def graph_apply(graph: Graph, params: Params, state: State,
     `input_hw` overrides the spatial size that `resize(to_input=True)`
     nodes target — needed when the graph has been re-rooted at an interior
     node (fast stem paths) and its input tensor is no longer the image.
+
+    `remat_segments` > 1 splits the node sequence into that many
+    `jax.checkpoint` segments: only the tensors live at segment
+    boundaries are saved for the backward pass; everything inside a
+    segment is recomputed.  Activation memory drops roughly by the
+    segment count at ~1/3 extra FLOPs — the standard TPU trade when HBM,
+    not compute, caps the batch (the reference has no equivalent;
+    torch.utils.checkpoint exists but DCFP never uses it).  Numerically
+    identical: dropout keys are passed into each segment, so recompute
+    replays the same randomness.
     """
     vals: Dict[str, jnp.ndarray] = {}
     new_state: State = dict(state)
@@ -189,7 +261,7 @@ def graph_apply(graph: Graph, params: Params, state: State,
         refs[out] = refs.get(out, 0) + 1
 
     n_dropout = sum(1 for n in graph.toposorted() if n.op == "dropout")
-    drop_rngs = {}
+    drop_rngs: Dict[str, jax.Array] = {}
     if rng is not None and n_dropout:
         keys = jax.random.split(rng, n_dropout)
         i = 0
@@ -198,66 +270,22 @@ def graph_apply(graph: Graph, params: Params, state: State,
                 drop_rngs[n.name] = keys[i]
                 i += 1
 
+    if remat_segments and remat_segments > 1:
+        return _graph_apply_remat(graph, params, state, inputs,
+                                  train=train, drop_rngs=drop_rngs,
+                                  input_hw=input_hw,
+                                  n_segments=remat_segments)
+
     for node in graph.toposorted():
-        op = node.op
-        if op == "input":
+        if node.op == "input":
             y = inputs[node.name]
             if input_hw is None:
                 input_hw = (y.shape[-3], y.shape[-2])
-        elif op == "conv":
-            y = _conv(vals[node.inputs[0]], node, params[node.name])
-        elif op == "bn":
-            y, ns = _bn(vals[node.inputs[0]], node, params[node.name],
-                        state[node.name], train)
+        else:
+            y, ns = _exec_node(node, vals, params, state, train,
+                               drop_rngs, input_hw)
             if ns is not None:
                 new_state[node.name] = ns
-        elif op == "relu":
-            y = jax.nn.relu(vals[node.inputs[0]])
-        elif op == "sigmoid":
-            y = jax.nn.sigmoid(vals[node.inputs[0]])
-        elif op == "mul":
-            y = vals[node.inputs[0]]
-            for other in node.inputs[1:]:
-                y = y * vals[other]
-        elif op == "add":
-            y = vals[node.inputs[0]]
-            for other in node.inputs[1:]:
-                y = y + vals[other]
-        elif op == "concat":
-            y = jnp.concatenate([vals[i] for i in node.inputs], axis=-1)
-        elif op == "maxpool":
-            a = node.attrs
-            y = max_pool(vals[node.inputs[0]], a["kernel"], a["stride"],
-                         a["padding"])
-        elif op == "avgpool":
-            y = adaptive_avg_pool(vals[node.inputs[0]],
-                                  node.attrs["out_size"])
-        elif op == "globalpool":
-            y = global_avg_pool(vals[node.inputs[0]])
-        elif op == "resize":
-            x = vals[node.inputs[0]]
-            a = node.attrs
-            if "like" in a:
-                ref = vals[a["like"]]
-                target = (ref.shape[-3], ref.shape[-2])
-            elif a.get("to_input"):
-                target = input_hw
-            else:
-                target = (int(round(x.shape[-3] * a["scale"])),
-                          int(round(x.shape[-2] * a["scale"])))
-            y = resize_bilinear(x, target, a["align_corners"])
-        elif op == "dropout":
-            y = _dropout(vals[node.inputs[0]], node,
-                         drop_rngs.get(node.name), train)
-        elif op == "identity":
-            y = vals[node.inputs[0]]
-        elif op == "barrier":
-            # deploy-time materialization point: stops XLA from fusing
-            # the producer into every consumer tile (see
-            # engine/deploy.insert_barriers for when this wins)
-            y = jax.lax.optimization_barrier(vals[node.inputs[0]])
-        else:
-            raise NotImplementedError(f"op {op!r} ({node.name})")
 
         vals[node.name] = y
         # release dead activations (no-op under jit, real savings eagerly)
@@ -265,6 +293,80 @@ def graph_apply(graph: Graph, params: Params, state: State,
             refs[parent] -= 1
             if refs[parent] == 0:
                 del vals[parent]
+
+    outputs = {name: vals[name] for name in graph.outputs}
+    return outputs, new_state
+
+
+def _graph_apply_remat(graph: Graph, params: Params, state: State,
+                       inputs: Dict[str, jnp.ndarray], *, train: bool,
+                       drop_rngs: Dict[str, jax.Array],
+                       input_hw: Optional[Tuple[int, int]],
+                       n_segments: int
+                       ) -> Tuple[Dict[str, jnp.ndarray], State]:
+    """Segmented execution with `jax.checkpoint` around each segment.
+
+    Cut points are chosen near equal node counts, nudged to the position
+    with the fewest live tensors in a window (stage boundaries of a
+    ResNet carry a single tensor; cutting mid-ASPP would carry five).
+    """
+    nodes = [n for n in graph.toposorted() if n.op != "input"]
+    vals = {name: inputs[name] for name in graph.inputs}
+    if input_hw is None:
+        first = vals[graph.inputs[0]]
+        input_hw = (first.shape[-3], first.shape[-2])
+
+    # liveness: last index at which each tensor is consumed
+    last_use = {name: -1 for name in vals}
+    for i, node in enumerate(nodes):
+        for parent in node.inputs:
+            last_use[parent] = i
+        last_use[node.name] = last_use.get(node.name, -1)
+    for out in graph.outputs:
+        last_use[out] = len(nodes)
+
+    def live_after(i: int):
+        """Tensors that must cross the boundary after nodes[i]."""
+        produced = set(graph.inputs) | {n.name for n in nodes[:i + 1]}
+        return sorted(t for t in produced if last_use[t] > i)
+
+    # pick cut positions: around each equal-count target, the index with
+    # the smallest boundary-carry count wins
+    n_segments = min(n_segments, len(nodes))
+    cuts = []
+    window = max(len(nodes) // (4 * n_segments), 1)
+    for k in range(1, n_segments):
+        target = k * len(nodes) // n_segments
+        lo = max(target - window, (cuts[-1] + 1) if cuts else 0)
+        hi = min(target + window, len(nodes) - 2)
+        if lo > hi:
+            continue
+        best = min(range(lo, hi + 1), key=lambda i: len(live_after(i)))
+        cuts.append(best)
+    bounds = [0] + [c + 1 for c in cuts] + [len(nodes)]
+
+    new_state: State = dict(state)
+    for s in range(len(bounds) - 1):
+        seg_nodes = nodes[bounds[s]:bounds[s + 1]]
+        carry_out = live_after(bounds[s + 1] - 1)
+        seg_drop = {n.name: drop_rngs[n.name] for n in seg_nodes
+                    if n.name in drop_rngs}
+
+        def seg_fn(carry, params, state, seg_drop, *, _nodes=seg_nodes,
+                   _out=carry_out):
+            v = dict(carry)
+            bn_updates = {}
+            for node in _nodes:
+                y, ns = _exec_node(node, v, params, state, train,
+                                   seg_drop, input_hw)
+                if ns is not None:
+                    bn_updates[node.name] = ns
+                v[node.name] = y
+            return {t: v[t] for t in _out}, bn_updates
+
+        vals, bn_updates = jax.checkpoint(seg_fn)(vals, params, state,
+                                                  seg_drop)
+        new_state.update(bn_updates)
 
     outputs = {name: vals[name] for name in graph.outputs}
     return outputs, new_state

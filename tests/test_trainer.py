@@ -296,6 +296,85 @@ def test_fused_loss_tail_matches_unfused(rng):
         s0.params, s1.params)
 
 
+def branchy_model(num_classes=5):
+    """Residual + concat + dropout + resize heads: enough structure that
+    4 remat segments cut through non-trivial liveness."""
+    b = GraphBuilder("branchy")
+    x = b.input("image")
+    x = b.conv_bn_relu(x, "s", out_ch=8, kernel=3, stride=2)
+    c = b.conv_bn_relu(x, "b1", out_ch=8, kernel=3)
+    c = b.conv(c, "b2", out_ch=8, kernel=3)
+    c = b.bn(c, "b2.bn")
+    y = b.relu(b.add_([c, x], "res"), "res.r")
+    p = b.conv_bn_relu(y, "br", out_ch=4, kernel=1, padding=0)
+    cat = b.concat([y, p], "cat")
+    z = b.conv_bn_relu(cat, "h", out_ch=8, kernel=3)
+    z = b.dropout(z, "drop", rate=0.5)
+    z = b.conv(z, "cls", out_ch=num_classes, kernel=1, padding=0, bias=True)
+    pred = b.resize(z, "pred", to_input=True, align_corners=True)
+    g = b.finish([pred])
+    g.ignore_prune = []
+    return SegModel(g, "branchy", "none", num_classes, True, False, {}, {})
+
+
+def test_remat_matches_plain_forward_and_grads(rng):
+    """remat_segments must be a pure memory/compute trade: identical
+    outputs, BN updates, and gradients (dropout keys replay inside each
+    jax.checkpoint segment), with remat actually present in the jaxpr."""
+    model = branchy_model()
+    g = model.graph
+    params, bn_state = init_graph(g, jax.random.key(0))
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3), dtype=np.float32))
+    key = jax.random.key(7)
+
+    def loss(p, segs):
+        outs, new_bn = graph_apply(g, p, bn_state, {"image": x},
+                                   train=True, rng=key,
+                                   remat_segments=segs)
+        return outs["pred"].sum(), (outs, new_bn)
+
+    (l0, (o0, s0)), g0 = jax.value_and_grad(loss, has_aux=True)(params, 0)
+    (l1, (o1, s1)), g1 = jax.value_and_grad(loss, has_aux=True)(params, 4)
+
+    np.testing.assert_array_equal(np.asarray(o0["pred"]),
+                                  np.asarray(o1["pred"]))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), s0, s1)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g0, g1)
+
+    jaxpr = jax.make_jaxpr(lambda p: loss(p, 4)[0])(params)
+    assert "remat" in str(jaxpr) or "checkpoint" in str(jaxpr)
+
+
+def test_remat_train_step_matches_plain(rng):
+    """One full train step (fused loss tail + EIC + optimizer) with and
+    without remat lands on the same parameters."""
+    model = branchy_model()
+    params, bn_state = init_graph(model.graph, jax.random.key(0))
+    tx = build_optimizer(optim="sgd", learning_rate=0.05, num_steps=100)
+    crit = build_criterions("ce", ignore_label=255)
+    batch = make_batch(rng, n=4, hw=16)
+    key = jax.random.key(3)
+
+    results = []
+    for segs in (0, 3):
+        state = create_train_state(model, jax.tree.map(jnp.copy, params),
+                                   jax.tree.map(jnp.copy, bn_state), tx,
+                                   prune_type="dcfp")
+        step = make_train_step(model, crit, tx, remat_segments=segs)
+        state, m = step(state, batch, key)
+        results.append((float(m["loss"]), state))
+    (l0, s0), (l1, s1) = results
+    np.testing.assert_allclose(l1, l0, rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        s0.params, s1.params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        s0.eic, s1.eic)
+
+
 def test_train_loop_signal_snapshot_and_metrics(rng, tmp_path):
     """Preemption grace: a SIGTERM mid-run finishes the in-flight step,
     writes a snapshot, and returns (instead of dying with no artifact —
