@@ -249,17 +249,6 @@ def graph_apply(graph: Graph, params: Params, state: State,
     identical: dropout keys are passed into each segment, so recompute
     replays the same randomness.
     """
-    vals: Dict[str, jnp.ndarray] = {}
-    new_state: State = dict(state)
-
-    # reference counts so eager (non-jit) execution frees activations early
-    refs: Dict[str, int] = {}
-    for node in graph.toposorted():
-        for parent in node.inputs:
-            refs[parent] = refs.get(parent, 0) + 1
-    for out in set(graph.outputs) | set(graph.inputs):
-        refs[out] = refs.get(out, 0) + 1
-
     n_dropout = sum(1 for n in graph.toposorted() if n.op == "dropout")
     drop_rngs: Dict[str, jax.Array] = {}
     if rng is not None and n_dropout:
@@ -270,11 +259,22 @@ def graph_apply(graph: Graph, params: Params, state: State,
                 drop_rngs[n.name] = keys[i]
                 i += 1
 
-    if remat_segments and remat_segments > 1:
+    if remat_segments > 1:
         return _graph_apply_remat(graph, params, state, inputs,
                                   train=train, drop_rngs=drop_rngs,
                                   input_hw=input_hw,
                                   n_segments=remat_segments)
+
+    vals: Dict[str, jnp.ndarray] = {}
+    new_state: State = dict(state)
+
+    # reference counts so eager (non-jit) execution frees activations early
+    refs: Dict[str, int] = {}
+    for node in graph.toposorted():
+        for parent in node.inputs:
+            refs[parent] = refs.get(parent, 0) + 1
+    for out in set(graph.outputs) | set(graph.inputs):
+        refs[out] = refs.get(out, 0) + 1
 
     for node in graph.toposorted():
         if node.op == "input":
