@@ -13,6 +13,9 @@ Variants:
   nodeepsup deepsup head off (single-head fwd+bwd)
   noeic     EIC scoring off
   frozenbn  BN in eval mode inside the step (isolates BN-stat cost)
+  rematN    N jax.checkpoint segments in the forward (the --remat flag;
+            measures the recompute cost and, with DCFP_EXP_BATCH raised,
+            the larger batch it buys)
 Env: DCFP_EXP_BATCH (default 4).
 """
 
@@ -114,7 +117,10 @@ def main(variants):
                 tx, prune_type=None if v == "noeic" else "dcfp")
             step = make_train_step(model, crit, tx,
                                    compute_dtype=jnp.bfloat16,
-                                   fuse_loss_tail=(v != "unfused"))
+                                   fuse_loss_tail=(v != "unfused"),
+                                   remat_segments=(int(v[5:])
+                                                   if v.startswith("remat")
+                                                   else 0))
             t_c = time.time()
             state, metrics = step(state, b, key)
             sync(metrics)
