@@ -319,6 +319,15 @@ def test_hrnet_surgery_exactness(rng):
     total_out = sum(n.attrs["out_ch"] for n in result.graph.conv_nodes())
     assert total_out < 0.85 * total_in
 
+    # finetune-path rebuild (reference train.py:200-205): a fresh
+    # full-width HRNet graph rewritten to channel_cfg runs the pruned
+    # weights bit-identically
+    rebuilt = apply_channel_cfg(g, result.channel_cfg)
+    outs2, _ = graph_apply(rebuilt, result.params, result.state,
+                           {"image": jnp.asarray(x)}, train=False)
+    np.testing.assert_array_equal(np.asarray(outs2["pred"]),
+                                  np.asarray(pruned["pred"]))
+
 
 def test_flops_search(rng):
     train_model = build_model("deeplabv3", backbone="resnet50",
