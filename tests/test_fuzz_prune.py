@@ -233,3 +233,48 @@ def test_fuzzed_graph_topology_and_surgery(seed):
         assert total_out < total_in
     else:
         assert total_out == total_in
+
+
+@pytest.mark.parametrize("seed", [2, 5])
+def test_fuzzed_graph_remat_equivalence(seed):
+    """remat segmentation must be value- and gradient-exact on arbitrary
+    DAGs, not just the shipped models: random residual/concat/SE/depthwise
+    graphs, train mode (live BN batch stats), 3 checkpoint segments."""
+    rng = np.random.default_rng(2000 + seed)
+    g = random_net(seed)
+    params, state = init_graph(g, jax.random.key(seed))
+    x = jnp.asarray(rng.standard_normal((2, 17, 17, 3),
+                                        dtype=np.float32))
+
+    def loss(p, segs):
+        outs, new_bn = graph_apply(g, p, state, {"image": x},
+                                   train=True, remat_segments=segs)
+        return outs[g.outputs[0]].sum(), new_bn
+
+    (l0, s0), g0 = jax.value_and_grad(loss, has_aux=True)(params, 0)
+    (l1, s1), g1 = jax.value_and_grad(loss, has_aux=True)(params, 3)
+    # checkpoint segments compile separately, so fusion/reduction order
+    # (and hence last-ulp f32 rounding) may differ — tight allclose, not
+    # bitwise (the dedicated branchy-model test pins exactness where the
+    # schedules happen to coincide)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7), s0, s1)
+    # grads are large cancellation sums — reassociation moves small
+    # elements by ~1e-4 abs; direction must agree to float precision
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4), g0, g1)
+
+    def _cos(a, b):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        denom = np.linalg.norm(a) * np.linalg.norm(b)
+        return 1.0 if denom == 0 else float(a @ b / denom)
+
+    for (path0, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        # earliest layers accumulate the deepest cancellation chains
+        # (stem feeds every path in these DAGs) — 0.999 matches the
+        # repo's cross-schedule comparison convention (tests/mp_worker.py)
+        assert _cos(a, b) > 0.999, path0
