@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dcfp_tpu.graph.apply import graph_apply
-from dcfp_tpu.graph.ir import Graph
+from dcfp_tpu.graph.ir import Graph, Node
 from dcfp_tpu.utils.logger import get_logger
 
 log = get_logger()
@@ -74,6 +74,122 @@ def fold_batchnorm(graph: Graph, params: Dict, state: Dict
         folded += 1
     log.info("folded %d BN layers into convs", folded)
     return new_graph, new_params, new_state
+
+
+_ONE_BY_ONE_PRESERVING = {"relu", "bn", "identity", "dropout", "sigmoid"}
+
+
+def _is_broadcast_resize(graph: Graph, resize_name: str) -> bool:
+    """True when the resize's input is spatially 1x1 (a globalpool chain):
+    bilinear resize of a constant field is a broadcast, so a following
+    1x1 conv commutes through it EXACTLY (same float values)."""
+    cur = graph.node(resize_name).inputs[0]
+    while True:
+        node = graph.node(cur)
+        if node.op == "globalpool":
+            return True
+        if node.op in _ONE_BY_ONE_PRESERVING:
+            cur = node.inputs[0]
+            continue
+        if (node.op == "conv" and node.attrs["kernel"] == 1
+                and node.attrs["stride"] == 1
+                and node.attrs["padding"] == 0):
+            cur = node.inputs[0]
+            continue
+        return False
+
+
+def split_concat_projection(graph: Graph, params: Dict
+                            ) -> Tuple[Graph, Dict]:
+    """Rewrite ``conv1x1(concat(b_1..b_k))`` as ``sum_i conv1x1_i(b_i)``.
+
+    The concatenated tensor (e.g. ASPP's 5-branch stack,
+    reference networks/tools/aspp.py:63-65) never materializes in HBM —
+    each branch projects straight out of its producer and the partial
+    products sum.  Additionally, a branch that is a *broadcast* resize
+    (ASPP's global-pool branch upsampled back, aspp.py:56-61) commutes
+    its projection through the resize: the 1x1 conv runs on the 1x1
+    pooled vector and only the projected result broadcasts, turning that
+    branch's full-resolution matmul into an add.
+
+    Exact up to float reassociation (one matmul -> k partial matmuls);
+    the broadcast commute is value-exact.  Deploy-time only — run after
+    :func:`fold_batchnorm` (concat inputs then feed convs directly)."""
+    g = graph.copy()
+    new_params = {k: dict(v) for k, v in params.items()}
+    rewrites = []
+    for conv in graph.conv_nodes():
+        a = conv.attrs
+        if not (a["kernel"] == 1 and a["stride"] == 1
+                and a["padding"] == 0 and a.get("groups", 1) == 1):
+            continue
+        src = graph.node(conv.inputs[0])
+        if src.op != "concat":
+            continue
+        rewrites.append((conv, src,
+                         len(graph.consumers(src.name)) == 1))
+    if not rewrites:
+        return g, new_params
+
+    drop = {src.name for _, src, sole in rewrites if sole}
+    split_of = {conv.name: (conv, src) for conv, src, _ in rewrites}
+    new_nodes: Dict[str, Node] = {}
+    for n in g.nodes.values():
+        if n.name in drop:
+            continue
+        if n.name not in split_of:
+            new_nodes[n.name] = n
+            continue
+        conv, src = split_of[n.name]
+        kernel = np.asarray(new_params[conv.name]["kernel"])
+        bias = (np.asarray(new_params[conv.name]["bias"])
+                if conv.attrs["bias"] else None)
+        del new_params[conv.name]
+        off = 0
+        part_names = []
+        for i, branch in enumerate(src.inputs):
+            bch = _branch_channels(graph, branch)
+            pname = f"{conv.name}.s{i}"
+            p = {"kernel": kernel[:, :, off:off + bch, :].copy()}
+            has_bias = bias is not None and i == 0
+            if has_bias:
+                p["bias"] = bias.copy()
+            attrs = dict(conv.attrs)
+            attrs.update(in_ch=bch, bias=has_bias)
+            bnode = graph.node(branch)
+            if bnode.op == "resize" and _is_broadcast_resize(g, branch):
+                # commute: conv on the pre-resize (1x1) tensor, then the
+                # (broadcast) resize runs on out_ch channels
+                new_nodes[pname] = Node(pname, "conv",
+                                        (bnode.inputs[0],), attrs)
+                rname = pname + ".r"
+                rattrs = dict(bnode.attrs)
+                rinputs = ((pname, rattrs["like"]) if "like" in rattrs
+                           else (pname,))
+                new_nodes[rname] = Node(rname, "resize", rinputs, rattrs)
+                part_names.append(rname)
+            else:
+                new_nodes[pname] = Node(pname, "conv", (branch,), attrs)
+                part_names.append(pname)
+            new_params[pname] = p
+            off += bch
+        new_nodes[conv.name] = Node(conv.name, "add", tuple(part_names))
+    g.nodes = new_nodes
+    # drop nodes orphaned by the rewrite (e.g. the pre-commute resize,
+    # whose only consumer was the dropped concat)
+    used = set(g.outputs) | set(g.inputs)
+    for n in reversed(list(g.nodes.values())):
+        if n.name in used:
+            used.update(n.inputs)
+            if n.op == "resize" and "like" in n.attrs:
+                used.add(n.attrs["like"])
+    g.nodes = {k: v for k, v in g.nodes.items() if k in used}
+    return g, new_params
+
+
+def _branch_channels(graph: Graph, name: str) -> int:
+    from dcfp_tpu.utils.flops import _channels
+    return _channels(graph, name)
 
 
 _ZERO_PRESERVING = {"relu", "identity", "maxpool", "dropout"}
@@ -196,7 +312,7 @@ def make_split_inference_fn(graph: Graph, params: Dict, state: Dict, *,
                             dtype=jnp.bfloat16, fold_bn: bool = True,
                             output: str = "logits", fuse_tail: bool = True,
                             pad_stem: int = 0, input_format: str = "nhwc",
-                            input_hw=None):
+                            input_hw=None, split_concat: bool = False):
     """Returns (body_fn, tail_fn, dev_params).
 
     ``body_fn(params, image)`` runs the conv graph.  When
@@ -229,6 +345,8 @@ def make_split_inference_fn(graph: Graph, params: Dict, state: Dict, *,
         raise ValueError(f"unknown input_format {input_format!r}")
     if fold_bn:
         graph, params, state = fold_batchnorm(graph, params, state)
+    if split_concat:
+        graph, params = split_concat_projection(graph, params)
     if pad_stem:
         graph, params = pad_conv_out_channels(
             graph, params, stem_pad_targets(graph, pad_stem))
@@ -316,7 +434,7 @@ def make_inference_fn(graph: Graph, params: Dict, state: Dict, *,
                       dtype=jnp.bfloat16, fold_bn: bool = True,
                       output: str = "logits", fuse_tail: bool = True,
                       pad_stem: int = 0, input_format: str = "nhwc",
-                      input_hw=None):
+                      input_hw=None, split_concat: bool = False):
     """Returns (fn, params) where fn(params, image) runs the deploy
     forward as ONE jittable program.  ``output``: 'logits' (f32) or
     'argmax' (uint8).
@@ -347,7 +465,7 @@ def make_inference_fn(graph: Graph, params: Dict, state: Dict, *,
     body_fn, tail_fn, dev_params = make_split_inference_fn(
         graph, params, state, dtype=dtype, fold_bn=fold_bn, output=output,
         fuse_tail=fuse_tail, pad_stem=pad_stem, input_format=input_format,
-        input_hw=input_hw)
+        input_hw=input_hw, split_concat=split_concat)
     if tail_fn is None:
         return body_fn, dev_params
 

@@ -152,6 +152,45 @@ def test_stem_channel_padding_exact(rng):
                                atol=1e-6)
 
 
+def test_split_concat_projection_matches_on_aspp(rng):
+    """split_concat_projection rewrites ASPP's concat->1x1 as per-branch
+    matmuls summed, with the global-pool branch's projection commuted
+    through its broadcast resize.  Logits must match the plain deploy
+    path (reassociation-level), and the rewrite must actually fire."""
+    from dcfp_tpu.engine.deploy import (fold_batchnorm, make_inference_fn,
+                                        split_concat_projection)
+    from dcfp_tpu.models.registry import build_model
+
+    model = build_model("deeplabv3", backbone="resnet50",
+                        backbone_para={"os": 16}, num_classes=7,
+                        align_corner=False, deepsup=False)
+    g = model.graph
+    params, state = randomized_bn(g, rng)
+    x = jnp.asarray(rng.standard_normal((1, 65, 65, 3),
+                                        dtype=np.float32))
+
+    outs = {}
+    for split in (False, True):
+        fn, p = make_inference_fn(g, params, state, dtype=jnp.float32,
+                                  output="logits", split_concat=split)
+        outs[split] = np.asarray(jax.jit(fn)(p, x))
+    np.testing.assert_allclose(outs[True], outs[False],
+                               rtol=1e-4, atol=1e-4)
+
+    # structural assertions on the rewritten graph
+    fg, fp, fs = fold_batchnorm(g, *randomized_bn(g, rng))
+    rg, rp = split_concat_projection(fg, fp)
+    assert "aspp.cat" not in rg.nodes          # concat gone
+    assert rg.node("aspp.conv1").op == "add"   # projection is now a sum
+    splits = [n for n in rg.nodes if n.startswith("aspp.conv1.s")]
+    assert len(splits) >= 5 + 1  # 5 branch convs + the commuted resize
+    # the pool branch's split conv reads the PRE-resize (1x1) tensor
+    pool_convs = [n for n in rg.conv_nodes()
+                  if n.name.startswith("aspp.conv1.s")
+                  and any("global" in i for i in n.inputs)]
+    assert pool_convs, "global-pool projection was not commuted"
+
+
 def test_inference_fn_pad_stem_matches(rng):
     from dcfp_tpu.engine.deploy import make_inference_fn
     g = stem_like_net()

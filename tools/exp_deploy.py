@@ -3,8 +3,9 @@ pruned R101 deploy model (the bench.py config) under candidate graph
 transforms, one AOT compile + 50-iter benchmark per variant.
 
 Usage: python tools/exp_deploy.py [variant ...]
-Variants: base, pad128, dil12, pad128+dil12, nchw, phases, int8
-(default: base nchw phases int8).
+Variants: base, pad128, dil12, pad128+dil12, nchw, phases, int8, csplit
+(split_concat_projection: ASPP concat->1x1 as summed per-branch matmuls;
+combinable, e.g. csplit+dil12).  Default: base nchw phases int8.
 """
 
 import os
@@ -143,12 +144,17 @@ def main(variants):
             fn, dev_params = make_inference_fn(
                 result.graph, result.params, result.state,
                 dtype=jnp.bfloat16, fold_bn=True, output="argmax",
-                pad_stem=pad)
+                pad_stem=pad, split_concat=("csplit" in v))
             compiled = aot_compile(fn, dev_params, shape)
             stats = benchmark(lambda img: compiled(dev_params, img),
                               image, warmup=warmup, iters=iters)
             if v == "base":
                 ref_labels = np.asarray(compiled(dev_params, image))
+            elif ref_labels is not None:
+                agree = (np.asarray(compiled(dev_params, image))
+                         == ref_labels).mean()
+                print(f"{v} argmax agreement vs base: {agree:.6f}",
+                      flush=True)
         print(f"VARIANT {v}: {stats['images_per_sec']:.2f} img/s "
               f"({stats['ms_per_batch']:.2f} ms)", flush=True)
     apply_mod.DILATED_MATMUL_MIN = default_min
