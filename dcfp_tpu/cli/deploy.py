@@ -55,6 +55,12 @@ def get_parser() -> argparse.ArgumentParser:
                         "faster (the TRT builder's tactic-selection "
                         "analog); split: Pallas tail in its own "
                         "executable; single: one program")
+    p.add_argument("--xla-options", type=str, default=None,
+                   help="comma-separated XLA compiler options for the "
+                        "deploy compile, e.g. "
+                        "xla_tpu_scoped_vmem_limit_kib=65536 (TRT "
+                        "builder-flag analog; also via DCFP_XLA_OPTIONS "
+                        "env). Names are validated by the compiler")
     return p
 
 
@@ -70,6 +76,10 @@ def main(argv=None) -> int:
     from dcfp_tpu.graph.apply import init_graph
     from dcfp_tpu.prune.pruner import apply_channel_cfg
     from dcfp_tpu.utils import checkpoint as ckpt
+
+    if args.xla_options:
+        # aot_compile* default their compiler_options from this env var
+        os.environ["DCFP_XLA_OPTIONS"] = args.xla_options
 
     num_classes = NUM_CLASSES[dataset_key(args.dataset)]
     model = build_model_from_args(args, num_classes, deepsup=False)

@@ -484,14 +484,45 @@ def make_inference_fn(graph: Graph, params: Dict, state: Dict, *,
     return fn, dev_params
 
 
+def env_compiler_options() -> Optional[dict]:
+    """Deploy-time XLA compiler options from ``DCFP_XLA_OPTIONS``
+    (comma-separated ``flag=value`` pairs, e.g.
+    ``xla_tpu_scoped_vmem_limit_kib=65536``) — the production knob for
+    per-model compiler tuning, the analog of TensorRT builder flags
+    (reference totrt.py:45-69 sets fp16/workspace on its builder).
+    Option names are validated server-side at compile time; a typo
+    fails the compile loudly rather than being ignored."""
+    import os
+    raw = os.environ.get("DCFP_XLA_OPTIONS", "").strip()
+    if not raw:
+        return None
+    opts = {}
+    for item in raw.split(","):
+        k, _, v = item.partition("=")
+        if not k.strip() or not v.strip():
+            raise ValueError(
+                f"DCFP_XLA_OPTIONS entry {item!r} is not flag=value")
+        opts[k.strip()] = v.strip()
+    return opts
+
+
 def aot_compile(fn, params, input_shape: Tuple[int, ...],
-                input_dtype=jnp.float32):
-    """Ahead-of-time compile at a fixed shape (the 'engine build')."""
+                input_dtype=jnp.float32, compiler_options=None):
+    """Ahead-of-time compile at a fixed shape (the 'engine build').
+
+    ``compiler_options``: dict of XLA debug options (e.g.
+    ``{"xla_tpu_scoped_vmem_limit_kib": "65536"}``) forwarded to the
+    compiler via PJRT env-option overrides — the only channel that
+    reaches TPU-side flags through a remote-compile service (client-side
+    ``XLA_FLAGS`` only knows the local build's flags).  Defaults to
+    :func:`env_compiler_options`."""
     spec = jax.ShapeDtypeStruct(input_shape, input_dtype)
     pspec = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
+    if compiler_options is None:
+        compiler_options = env_compiler_options()
     t0 = time.time()
-    compiled = jax.jit(fn).lower(pspec, spec).compile()
+    compiled = jax.jit(fn).lower(pspec, spec).compile(compiler_options)
     log.info("AOT compile took %.1fs", time.time() - t0)
     return compiled
 
@@ -499,13 +530,15 @@ def aot_compile(fn, params, input_shape: Tuple[int, ...],
 def aot_compile_split(body_fn, tail_fn, params,
                       input_shape: Tuple[int, ...],
                       input_dtype=jnp.float32,
-                      input_format: str = "nhwc", input_hw=None):
+                      input_format: str = "nhwc", input_hw=None,
+                      compiler_options=None):
     """Compile body and tail (from :func:`make_split_inference_fn`) as
     SEPARATE executables and return ``run(params, image)`` chaining them.
     The logits handoff stays on device; keeping the Pallas tail out of
     the conv program preserves XLA's tiled conv strategy (2.5x on the
     HRNet-W48 head — see make_split_inference_fn)."""
-    body_c = aot_compile(body_fn, params, input_shape, input_dtype)
+    body_c = aot_compile(body_fn, params, input_shape, input_dtype,
+                         compiler_options=compiler_options)
     if tail_fn is None:
         return body_c
     pspec = jax.tree.map(
@@ -513,7 +546,10 @@ def aot_compile_split(body_fn, tail_fn, params,
     zspec = jax.eval_shape(body_fn, pspec,
                            jax.ShapeDtypeStruct(input_shape, input_dtype))
     out_hw = infer_out_hw(input_shape, input_format, input_hw)
-    tail_c = jax.jit(lambda z: tail_fn(z, out_hw)).lower(zspec).compile()
+    if compiler_options is None:
+        compiler_options = env_compiler_options()
+    tail_c = jax.jit(lambda z: tail_fn(z, out_hw)).lower(zspec).compile(
+        compiler_options)
 
     def run(p, image):
         return tail_c(body_c(p, image))
@@ -525,7 +561,8 @@ def aot_compile_best(body_fn, tail_fn, params,
                      input_shape: Tuple[int, ...],
                      input_dtype=jnp.float32,
                      input_format: str = "nhwc", input_hw=None,
-                     sample=None, probe_iters: int = 5):
+                     sample=None, probe_iters: int = 5,
+                     compiler_options=None):
     """Compile BOTH deploy forms — the split pair and the single
     program — time each briefly on ``sample``, and return
     ``(run, mode)`` for the faster ('split' | 'single').
@@ -538,7 +575,8 @@ def aot_compile_best(body_fn, tail_fn, params,
     (logits output) or no sample, returns the split/single-identical
     body program."""
     split = aot_compile_split(body_fn, tail_fn, params, input_shape,
-                              input_dtype, input_format, input_hw)
+                              input_dtype, input_format, input_hw,
+                              compiler_options=compiler_options)
     if tail_fn is None or sample is None:
         return split, "split"
     out_hw = infer_out_hw(input_shape, input_format, input_hw)
@@ -546,7 +584,8 @@ def aot_compile_best(body_fn, tail_fn, params,
     def single_fn(p, image):
         return tail_fn(body_fn(p, image), out_hw)
 
-    single = aot_compile(single_fn, params, input_shape, input_dtype)
+    single = aot_compile(single_fn, params, input_shape, input_dtype,
+                         compiler_options=compiler_options)
     t_split = benchmark(lambda img: split(params, img), sample,
                         warmup=2, iters=probe_iters)["ms_per_batch"]
     t_single = benchmark(lambda img: single(params, img), sample,

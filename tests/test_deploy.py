@@ -203,3 +203,29 @@ def test_inference_fn_pad_stem_matches(rng):
                                   pad_stem=pad)
         outs[pad] = np.asarray(jax.jit(fn)(p, jnp.asarray(x)))
     np.testing.assert_array_equal(outs[0], outs[16])
+
+
+def test_env_compiler_options_parsing(monkeypatch):
+    from dcfp_tpu.engine.deploy import env_compiler_options
+    monkeypatch.delenv("DCFP_XLA_OPTIONS", raising=False)
+    assert env_compiler_options() is None
+    monkeypatch.setenv("DCFP_XLA_OPTIONS",
+                       "xla_tpu_scoped_vmem_limit_kib=65536, a_flag=false")
+    assert env_compiler_options() == {
+        "xla_tpu_scoped_vmem_limit_kib": "65536", "a_flag": "false"}
+    monkeypatch.setenv("DCFP_XLA_OPTIONS", "not_a_pair")
+    with pytest.raises(ValueError):
+        env_compiler_options()
+
+
+def test_aot_compile_with_compiler_options(rng):
+    # CPU backend also validates option names server-side; use a generic
+    # (non-TPU) debug option so the test runs on the CPU test platform.
+    g = small_net()
+    params, state = randomized_bn(g, rng)
+    fn, p = make_inference_fn(g, params, state, dtype=jnp.float32)
+    compiled = aot_compile(fn, p, (1, 16, 16, 3),
+                           compiler_options={"xla_backend_optimization_level": "2"})
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 3), dtype=np.float32))
+    np.testing.assert_allclose(np.asarray(compiled(p, x)),
+                               np.asarray(fn(p, x)), rtol=1e-5, atol=1e-5)
