@@ -80,6 +80,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--metrics-file", type=str, default=None,
                    help="append JSONL training metrics (one line per log "
                         "window) for external dashboards")
+    p.add_argument("--xla-options", type=str, default=None,
+                   help="comma-separated XLA compiler options for the "
+                        "train-step compile, e.g. "
+                        "xla_tpu_scoped_vmem_limit_kib=49152 (~2% "
+                        "measured on the CS recipe; also via "
+                        "DCFP_XLA_OPTIONS env)")
     p.add_argument("--compact-batches", type=str2bool, default=True,
                    help="ship uint8 batches and normalize / expand "
                         "weight maps on device (~6x less host->device "
@@ -143,6 +149,9 @@ def main(argv=None) -> int:
         parser.error("--balance 2 (effective-number weights) needs the "
                      "sampled class id, which only --resample true "
                      "provides (reference datasets/Base.py:82)")
+    if args.xla_options:
+        # make_train_step defaults its compiler_options from this env var
+        os.environ["DCFP_XLA_OPTIONS"] = args.xla_options
     maybe_initialize_distributed(args)  # before any other jax call
     setup_dirs_and_logging(args)
     np.random.seed(args.random_seed)

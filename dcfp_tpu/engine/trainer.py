@@ -98,7 +98,8 @@ def make_train_step(model: SegModel, criterion: Criterion,
                     eic_r: float = 0.999, compute_dtype=jnp.float32,
                     fuse_loss_tail: bool = True, normalize=None,
                     ignore_label: int = 255,
-                    remat_segments: int = 0) -> Callable:
+                    remat_segments: int = 0,
+                    compiler_options: Optional[dict] = None) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
     ``batch``: {'img': NHWC float, 'label': (N,H,W) int or
@@ -165,7 +166,31 @@ def make_train_step(model: SegModel, criterion: Criterion,
         gnorm = optax.global_norm(grads)
         return new_state, {"loss": loss, "grad_norm": gnorm}
 
-    return train_step
+    opts = compiler_options
+    if opts is None:
+        from dcfp_tpu.engine.deploy import env_compiler_options
+        opts = env_compiler_options()
+    if not opts:
+        return train_step
+
+    # XLA compiler options (PJRT per-compile overrides — the only channel
+    # that reaches TPU-side flags through a remote-compile service) need
+    # an explicit lower+compile; jit dispatch has no options hook.  AOT
+    # at first-call shapes, re-lowered if the batch shape changes.
+    # Measured: xla_tpu_scoped_vmem_limit_kib=49152 gives ~2% on the CS
+    # recipe step (201.7 -> 197.6 ms, docs/ROADMAP.md).
+    cache: dict = {}
+
+    def train_step_with_options(state: TrainState, batch, rng):
+        key = tuple((tuple(x.shape), str(x.dtype))
+                    for x in jax.tree.leaves(batch))
+        compiled = cache.get(key)
+        if compiled is None:
+            compiled = train_step.lower(state, batch, rng).compile(opts)
+            cache[key] = compiled
+        return compiled(state, batch, rng)
+
+    return train_step_with_options
 
 
 @dataclasses.dataclass

@@ -416,3 +416,29 @@ def test_train_loop_signal_snapshot_and_metrics(rng, tmp_path):
     lines = [json.loads(ln) for ln in open(metrics_path)]
     assert lines and lines[0]["step"] == 2
     assert all(np.isfinite(ln["loss"]) for ln in lines)
+
+
+def test_train_step_compiler_options_matches_default(rng):
+    """compiler_options routes through lower+compile (AOT-at-first-call);
+    a generic option must reproduce the jit-dispatch step exactly."""
+    model = tiny_model(deepsup=True)
+    tx = build_optimizer(optim="sgd", learning_rate=0.05, num_steps=100)
+    crit = build_criterions("ce", ignore_label=255)
+    batch = make_batch(rng)
+    key = jax.random.key(1)
+
+    outs = {}
+    # option at its default value: exercises the lower+compile plumbing
+    # without changing codegen (non-default values legally re-order
+    # float math, e.g. optimization_level=2 drifts 1e-8 on CPU)
+    for opts in (None, {"xla_backend_optimization_level": "3"}):
+        # fresh params per variant: the step donates its state buffers
+        params, bn_state = init_graph(model.graph, jax.random.key(0))
+        state = create_train_state(model, params, bn_state, tx,
+                                   prune_type="dcfp")
+        step = make_train_step(model, crit, tx, compiler_options=opts)
+        for _ in range(3):
+            state, m = step(state, batch, key)
+        outs[opts is None] = (state, m)
+    for a, b in zip(jax.tree.leaves(outs[True]), jax.tree.leaves(outs[False])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -16,6 +16,9 @@ Variants:
   rematN    N jax.checkpoint segments in the forward (the --remat flag;
             measures the recompute cost and, with DCFP_EXP_BATCH raised,
             the larger batch it buys)
+  opt:K=V[,K=V]  compile the base step with XLA compiler options (PJRT
+            per-compile overrides, e.g. opt:xla_tpu_scoped_vmem_limit_kib=65536
+            — same channel as deploy --xla-options)
 Env: DCFP_EXP_BATCH (default 4).
 """
 
@@ -121,6 +124,9 @@ def main(variants):
                                    remat_segments=(int(v[5:])
                                                    if v.startswith("remat")
                                                    else 0))
+            if v.startswith("opt:"):
+                opts = dict(kv.split("=", 1) for kv in v[4:].split(","))
+                step = step.lower(state, b, key).compile(opts)
             t_c = time.time()
             state, metrics = step(state, b, key)
             sync(metrics)
