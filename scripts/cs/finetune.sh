@@ -37,7 +37,10 @@ python -m dcfp_tpu.cli.train --dataset ${DATASET} --balance 2 --resample true \
     --batch-size ${BS} --random-seed 42 \
     --snapshot-dir ${SNAPSHOT_DIR} --save-pred-every ${SAVE_PRED_EVERY} \
     --save-steps $((NUM_STEPS - 7 * SAVE_PRED_EVERY)) \
-    --resume ${PRUNE_DIR}/pruned.msgpack --channel-cfg ${CHANNEL_CFG}
+    --resume ${PRUNE_DIR}/pruned.msgpack --channel-cfg ${CHANNEL_CFG} \
+    --xla-options xla_tpu_scoped_vmem_limit_kib=49152
+# --xla-options measured for this recipe shape (batch 8 @769²): see
+# docs/ROADMAP.md; drop for other shapes unless re-measured
 
 # ss test
 python -m dcfp_tpu.cli.evaluate --dataset ${DATASET} --data-dir val \

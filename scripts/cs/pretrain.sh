@@ -35,4 +35,8 @@ python -m dcfp_tpu.cli.train --dataset ${DATASET} --balance 0 \
     --batch-size ${BS} --random-seed 42 \
     --snapshot-dir ${SNAPSHOT_DIR} --save-pred-every ${SAVE_PRED_EVERY} \
     --save-steps $((NUM_STEPS - 3 * SAVE_PRED_EVERY)) \
-    --prune-type dcfp --pretrained auto
+    --prune-type dcfp --pretrained auto \
+    --xla-options xla_tpu_scoped_vmem_limit_kib=49152
+# the --xla-options value is measured for THIS recipe shape (batch 8 @769²,
+# R50 os8): 197.6 vs 201.7 ms/step — see docs/ROADMAP.md; drop it for
+# other shapes unless re-measured (tools/exp_train.py "opt:...")

@@ -19,7 +19,9 @@ Variants:
   opt:K=V[,K=V]  compile the base step with XLA compiler options (PJRT
             per-compile overrides, e.g. opt:xla_tpu_scoped_vmem_limit_kib=65536
             — same channel as deploy --xla-options)
-Env: DCFP_EXP_BATCH (default 4).
+Env: DCFP_EXP_BATCH (default 4), DCFP_EXP_HW (crop, default 769),
+DCFP_EXP_MODEL / DCFP_EXP_BACKBONE (default deeplabv3 / resnet50;
+hrnet* backbones get {"pretrained": False} para).
 """
 
 import os
@@ -56,7 +58,7 @@ def main(variants):
     from dcfp_tpu.models.registry import build_model
 
     batch = int(os.environ.get("DCFP_EXP_BATCH", "4"))
-    hw = 769
+    hw = int(os.environ.get("DCFP_EXP_HW", "769"))
     rng = np.random.default_rng(0)
     lab = rng.integers(0, 19, (batch, hw, hw)).astype(np.int32)
     b = {
@@ -74,9 +76,12 @@ def main(variants):
         apply_mod.DILATED_MATMUL_MIN = (
             int(v[3:]) if v.startswith("min") else default_min)
         deepsup = v != "nodeepsup"
+        head = os.environ.get("DCFP_EXP_MODEL", "deeplabv3")
+        backbone = os.environ.get("DCFP_EXP_BACKBONE", "resnet50")
+        bpara = ({"pretrained": False} if backbone.startswith("hrnet")
+                 else {"os": 8, "mg_unit": [1, 2, 4], "inplanes": 128})
         model = build_model(
-            "deeplabv3", backbone="resnet50",
-            backbone_para={"os": 8, "mg_unit": [1, 2, 4], "inplanes": 128},
+            head, backbone=backbone, backbone_para=bpara,
             num_classes=19, align_corner=True, deepsup=deepsup)
         params, bn = init_graph(model.graph, jax.random.key(0))
         crit = build_criterions("ce" if v == "ce" else "gsrl",
