@@ -55,6 +55,13 @@ def get_parser() -> argparse.ArgumentParser:
                         "faster (the TRT builder's tactic-selection "
                         "analog); split: Pallas tail in its own "
                         "executable; single: one program")
+    p.add_argument("--input-format", type=str, default="nhwc",
+                   choices=["nhwc", "nchw"],
+                   help="executable input layout. nchw is the reference "
+                        "engine's own format (totrt.py:113) and measured "
+                        "faster on TPU (stem runs as decimation matmuls; "
+                        "+1.4% pruned R101, +4% HRNet-W48 — ROADMAP); "
+                        "evaluate --use-aot feeds either")
     p.add_argument("--xla-options", type=str, default=None,
                    help="comma-separated XLA compiler options for the "
                         "deploy compile, e.g. "
@@ -93,7 +100,9 @@ def main(argv=None) -> int:
                                                        params, bn_state)
 
     h, w = parse_hw(args.input_size)
-    shape = (args.batch_size, h, w, 3)
+    fmt = args.input_format
+    shape = ((args.batch_size, 3, h, w) if fmt == "nchw"
+             else (args.batch_size, h, w, 3))
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
              "bf16": jnp.bfloat16}[args.dtype]
 
@@ -105,23 +114,25 @@ def main(argv=None) -> int:
     # tactic-selection analog).
     body_fn, tail_fn, dev_params = make_split_inference_fn(
         graph, params, bn_state, dtype=dtype, fold_bn=True,
-        output=args.output)
+        output=args.output, input_format=fmt)
     image = jnp.asarray(np.random.default_rng(0).uniform(
         -1, 1, shape).astype(np.float32))
-    out_hw = infer_out_hw(shape)
+    out_hw = infer_out_hw(shape, fmt)
 
     def single_fn(p, img):
         return tail_fn(body_fn(p, img), out_hw)
 
     if tail_fn is None or args.deploy_form == "split":
         compiled, form = (aot_compile_split(body_fn, tail_fn, dev_params,
-                                            shape), "split")
+                                            shape, input_format=fmt),
+                          "split")
     elif args.deploy_form == "single":
         compiled, form = aot_compile(single_fn, dev_params,
                                      shape), "single"
     else:
         compiled, form = aot_compile_best(body_fn, tail_fn, dev_params,
-                                          shape, sample=image)
+                                          shape, input_format=fmt,
+                                          sample=image)
     log.info("deploy form: %s", form)
 
     if args.save_dir:
@@ -132,12 +143,13 @@ def main(argv=None) -> int:
             export_serialized(single_fn, dev_params, shape, path)
         else:
             export_serialized_split(body_fn, tail_fn, dev_params, shape,
-                                    path)
+                                    path, input_format=fmt)
         ckpt.save_pytree(os.path.join(args.save_dir,
                                       "deploy_params.msgpack"), dev_params)
         with open(os.path.join(args.save_dir, "meta.json"), "w") as f:
             json.dump({"input": list(shape), "dtype": args.dtype,
                        "output": args.output, "form": form,
+                       "input_format": fmt,
                        "split_tail": (form == "split"
                                       and tail_fn is not None)}, f)
 

@@ -157,6 +157,7 @@ def main(argv=None) -> int:
                 f"missing {params_path} (written by cli.deploy next to "
                 "the serialized executable)")
         meta_path = os.path.join(aot_dir, "meta.json")
+        aot_fmt = "nhwc"
         if os.path.isfile(meta_path):
             import json
             with open(meta_path) as f:
@@ -167,6 +168,11 @@ def main(argv=None) -> int:
                     f"this eval mode needs a deploy --output {want_out} "
                     f"export; {args.aot_path} was exported with "
                     f"--output {meta.get('output')}")
+            aot_fmt = meta.get("input_format", "nhwc")
+            if aot_sliding and aot_fmt != "nhwc":
+                raise SystemExit(
+                    "tile executables must be exported with "
+                    "--input-format nhwc (the tile extractor feeds NHWC)")
             if aot_sliding and (tuple(meta["input"][1:3])
                                 != parse_hw(args.input_size)):
                 raise SystemExit(
@@ -174,6 +180,13 @@ def main(argv=None) -> int:
                     f"--input-size {args.input_size}")
         from dcfp_tpu.engine.deploy import load_serialized
         run = load_serialized(args.aot_path)
+        if aot_fmt == "nchw":
+            # one device-side transpose per image; the NCHW stem path it
+            # unlocks is worth more than the copy (ROADMAP: +1.4% R101,
+            # +4% HRNet-W48)
+            _body = run
+            run = (lambda p, img: _body(p, jnp.transpose(img,
+                                                         (0, 3, 1, 2))))
         aot_params = ckpt.load_pytree(params_path)
         aot_params = jax.tree.map(jnp.asarray, aot_params)
         predictor = Predictor(graph, params, bn_state, dtype=dtype,

@@ -251,6 +251,44 @@ def test_evaluate_serves_aot_artifact(cs_fixture, tmp_path_factory):
             "--restore-from", ckpt_path, "--use-aot", "true",
             "--aot-path", os.path.join(tile_dir, "model.stablehlo")])
 
+    # NCHW-input artifact (the totrt.py input layout, faster on TPU):
+    # evaluate --use-aot reads meta.json and transposes the feed; mIoU
+    # matches the NHWC artifact exactly on the f32 CPU path
+    nchw_dir = os.path.join(work, "deploy_nchw")
+    assert deploy.main([
+        "--dataset", "CS", "--model", "simple", "--backbone", "resnet50",
+        "--backbone-para", BACKBONE_PARA, "--align-corner", "false",
+        "--input-size", "72,96", "--restore-from", ckpt_path,
+        "--save-dir", nchw_dir, "--warmup", "1", "--iters", "2",
+        "--dtype", "float32", "--input-format", "nchw"]) == 0
+    meta = json.loads(open(os.path.join(nchw_dir, "meta.json")).read())
+    assert meta["input_format"] == "nchw"
+    assert meta["input"][1] == 3
+    rf_nchw = os.path.join(work, "result_nchw.txt")
+    assert evaluate.main([
+        "--dataset", "CS", "--data-dir", "val", "--model", "simple",
+        "--backbone", "resnet50", "--backbone-para", BACKBONE_PARA,
+        "--align-corner", "false", "--whole", "true", "--ms", "1",
+        "--input-size", "72,96", "--restore-from", ckpt_path,
+        "--use-aot", "true",
+        "--aot-path", os.path.join(nchw_dir, "model.stablehlo"),
+        "--result-file", rf_nchw]) == 0
+    miou_nchw = json.loads(open(rf_nchw).read().splitlines()[1])["meanIU"]
+    miou_nhwc = json.loads(open(result_file).read().splitlines()[1])["meanIU"]
+    assert abs(miou_nchw - miou_nhwc) < 1e-6, (miou_nchw, miou_nhwc)
+
+    # tile serving requires NHWC artifacts (the extractor feeds NHWC)
+    tile_meta = os.path.join(tile_dir, "meta.json")
+    m = json.loads(open(tile_meta).read())
+    m["input_format"] = "nchw"
+    open(tile_meta, "w").write(json.dumps(m))
+    with pytest.raises(SystemExit):
+        evaluate.main(common + [
+            "--use-aot", "true",
+            "--aot-path", os.path.join(tile_dir, "model.stablehlo")])
+    m["input_format"] = "nhwc"
+    open(tile_meta, "w").write(json.dumps(m))
+
 
 def test_ctx_pipeline_minimal(tmp_path_factory):
     """The shifted-label dataset family through the CLIs (CTX: 59

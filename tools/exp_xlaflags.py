@@ -18,6 +18,8 @@ The model/protocol is bench.py's pruned headline (R101 @~47% FLOPs,
 (the autotuned winner at this config; fixed so variants compare one
 program).  The persistent compile cache is disabled: a cache hit keyed
 without the option overrides would silently time the wrong build.
+DCFP_EXP_MODEL / DCFP_EXP_BACKBONE switch the model (hrnet* backbones
+run unpruned, matching the ROADMAP headline).
 """
 
 import os
@@ -60,20 +62,30 @@ def main(variants):
     from dcfp_tpu.prune.search import prune_to_flops
 
     shape, warmup, iters = (1, 1025, 2049, 3), 10, 50
+    head = os.environ.get("DCFP_EXP_MODEL", "deeplabv3")
+    backbone = os.environ.get("DCFP_EXP_BACKBONE", "resnet101")
+    hrnet = backbone.startswith("hrnet")
+    bpara = ({"pretrained": False} if hrnet
+             else {"os": 8, "mg_unit": [1, 2, 4], "inplanes": 128})
     model = build_model(
-        "deeplabv3", backbone="resnet101",
-        backbone_para={"os": 8, "mg_unit": [1, 2, 4], "inplanes": 128},
+        head, backbone=backbone, backbone_para=bpara,
         num_classes=19, align_corner=True, deepsup=False)
     params, state = init_graph(model.graph, jax.random.key(0))
     rng = np.random.default_rng(0)
-    eic = {bn: np.abs(rng.standard_normal(
-        model.graph.node(bn).attrs["channels"])).astype(np.float32)
-        for bn in prunable_bn_names(model.graph)}
-    result, gp, report = prune_to_flops(
-        model.graph, model.graph, params, state, eic, prune_ratio=0.5,
-        layer_keep=0.02, except_start_keys=(), channel_align=128)
-    print(f"pruned: gp={gp} flops_ratio={report['flops_ratio']:.4f}",
-          flush=True)
+    if hrnet:
+        # the HRNet deploy headline is unpruned (ROADMAP)
+        import types
+        result = types.SimpleNamespace(graph=model.graph, params=params,
+                                       state=state)
+    else:
+        eic = {bn: np.abs(rng.standard_normal(
+            model.graph.node(bn).attrs["channels"])).astype(np.float32)
+            for bn in prunable_bn_names(model.graph)}
+        result, gp, report = prune_to_flops(
+            model.graph, model.graph, params, state, eic, prune_ratio=0.5,
+            layer_keep=0.02, except_start_keys=(), channel_align=128)
+        print(f"pruned: gp={gp} flops_ratio={report['flops_ratio']:.4f}",
+              flush=True)
 
     nchw = (shape[0], shape[3], shape[1], shape[2])
     image = jnp.asarray(rng.uniform(-1, 1, nchw).astype(np.float32))

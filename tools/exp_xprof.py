@@ -46,11 +46,14 @@ def build_step(variant, batch):
     from dcfp_tpu.graph.apply import graph_apply, init_graph
     from dcfp_tpu.models.registry import build_model
 
-    hw = 769
+    hw = int(os.environ.get("DCFP_EXP_HW", "769"))
     rng = np.random.default_rng(0)
+    head = os.environ.get("DCFP_EXP_MODEL", "deeplabv3")
+    backbone = os.environ.get("DCFP_EXP_BACKBONE", "resnet50")
+    bpara = ({"pretrained": False} if backbone.startswith("hrnet")
+             else {"os": 8, "mg_unit": [1, 2, 4], "inplanes": 128})
     model = build_model(
-        "deeplabv3", backbone="resnet50",
-        backbone_para={"os": 8, "mg_unit": [1, 2, 4], "inplanes": 128},
+        head, backbone=backbone, backbone_para=bpara,
         num_classes=19, align_corner=True, deepsup=True)
     params, bn = init_graph(model.graph, jax.random.key(0))
     b = {
