@@ -496,13 +496,31 @@ def env_compiler_options() -> Optional[dict]:
     raw = os.environ.get("DCFP_XLA_OPTIONS", "").strip()
     if not raw:
         return None
+    return parse_compiler_options(raw, source="DCFP_XLA_OPTIONS")
+
+
+def parse_compiler_options(raw: str, source: str = "--xla-options"
+                           ) -> dict:
+    """Parse comma-separated ``flag=value`` pairs into an XLA
+    compiler-options dict — the one parser behind the env var, the CLI
+    flags, and the profiling tools.  Values are coerced to bool/int
+    where unambiguous: PJRT backends differ on string parsing (XLA:CPU
+    rejects ``"false"`` for bool options; typed values work everywhere)."""
     opts = {}
     for item in raw.split(","):
         k, _, v = item.partition("=")
         if not k.strip() or not v.strip():
             raise ValueError(
-                f"DCFP_XLA_OPTIONS entry {item!r} is not flag=value")
-        opts[k.strip()] = v.strip()
+                f"{source} entry {item!r} is not flag=value")
+        v = v.strip()
+        if v.lower() in ("true", "false"):
+            v = v.lower() == "true"
+        else:
+            try:
+                v = int(v)
+            except ValueError:
+                pass
+        opts[k.strip()] = v
     return opts
 
 

@@ -190,6 +190,10 @@ def make_train_step(model: SegModel, criterion: Criterion,
             cache[key] = compiled
         return compiled(state, batch, rng)
 
+    # Keep the jitted-step API: callers that lower explicitly (cost
+    # analysis, their own compiler options) must not break just because
+    # DCFP_XLA_OPTIONS was exported in the environment.
+    train_step_with_options.lower = train_step.lower
     return train_step_with_options
 
 

@@ -104,9 +104,8 @@ def _boundary_device_fn():
     import jax.numpy as jnp
 
     @functools.partial(jax.jit,
-                       static_argnames=("num_classes", "dilation",
-                                        "background"))
-    def run(masks, num_classes, dilation, background):
+                       static_argnames=("num_classes", "background"))
+    def run(masks, dilation, num_classes, background):
         h, w = masks.shape[1], masks.shape[2]
         classes = jnp.arange(num_classes, dtype=jnp.int32)
         onehot = (masks.astype(jnp.int32)[:, None]
@@ -127,8 +126,11 @@ def _boundary_device_fn():
                                           padding=pad)
             return x
 
-        eroded = jax.lax.fori_loop(0, dilation, erode, x)[
-            :, :, 1:h + 1, 1:w + 1]
+        # dilation is traced (not a jit key): per-image native label
+        # sizes change it every batch under the longsize/shortsize
+        # protocols, and a static arg would recompile the loop each time
+        eroded = jax.lax.fori_loop(0, dilation, erode, x,
+                                   unroll=False)[:, :, 1:h + 1, 1:w + 1]
         boundary = onehot & (eroded < 0.5)
         any_b = jnp.any(boundary, axis=1)
         idx = jnp.argmax(boundary, axis=1).astype(jnp.int32)
@@ -159,9 +161,20 @@ def mask_to_boundary_device(masks, num_classes: int,
         _boundary_run = _boundary_device_fn()
     import jax.numpy as jnp
 
-    masks = jnp.asarray(masks)
+    masks = np.asarray(masks)
     h, w = masks.shape[1], masks.shape[2]
     dilation = max(int(round(dilation_ratio * np.sqrt(h ** 2 + w ** 2))),
                    1)
-    return np.asarray(_boundary_run(masks, num_classes, dilation,
-                                    background))
+    # Bucket the spatial shape (pad up to multiples of 128) so eval over
+    # per-image native label sizes reuses a handful of compilations
+    # instead of one per distinct (H, W).  The pad value one-hots to
+    # all-zero, which is exactly the zero border the erosion already
+    # assumes beyond the image — the valid region's result is unchanged.
+    hb = -(-h // 128) * 128
+    wb = -(-w // 128) * 128
+    if (hb, wb) != (h, w):
+        masks = np.pad(masks, ((0, 0), (0, hb - h), (0, wb - w)),
+                       constant_values=num_classes)
+    out = _boundary_run(jnp.asarray(masks), jnp.int32(dilation),
+                        num_classes, background)
+    return np.asarray(out[:, :h, :w])

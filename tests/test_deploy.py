@@ -209,10 +209,12 @@ def test_env_compiler_options_parsing(monkeypatch):
     from dcfp_tpu.engine.deploy import env_compiler_options
     monkeypatch.delenv("DCFP_XLA_OPTIONS", raising=False)
     assert env_compiler_options() is None
+    # values coerce to bool/int: XLA:CPU's PJRT option parser rejects
+    # the string "false" for bool options; typed values work everywhere
     monkeypatch.setenv("DCFP_XLA_OPTIONS",
                        "xla_tpu_scoped_vmem_limit_kib=65536, a_flag=false")
     assert env_compiler_options() == {
-        "xla_tpu_scoped_vmem_limit_kib": "65536", "a_flag": "false"}
+        "xla_tpu_scoped_vmem_limit_kib": 65536, "a_flag": False}
     monkeypatch.setenv("DCFP_XLA_OPTIONS", "not_a_pair")
     with pytest.raises(ValueError):
         env_compiler_options()

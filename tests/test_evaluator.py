@@ -374,6 +374,24 @@ def test_mask_to_boundary_device_matches_host(rng, ratio):
         np.testing.assert_array_equal(got[i], want)
 
 
+def test_mask_to_boundary_device_variable_shapes(rng):
+    """Per-image native label sizes (longsize/shortsize protocols) hit
+    the device path with a different (H, W) every batch: the bucketed
+    padding must stay exact across shapes sharing and not sharing a
+    bucket, and across different dilations at one bucketed shape."""
+    from dcfp_tpu.utils.edge import mask_to_boundary_device
+
+    for hw in [(47, 61), (100, 120), (128, 128), (130, 257)]:
+        masks = rng.integers(0, 6, (2, *hw)).astype(np.int64)
+        masks[rng.random((2, *hw)) < 0.1] = 255
+        got = mask_to_boundary_device(masks, 6, dilation_ratio=0.02,
+                                      background=255)
+        for i in range(2):
+            want = mask_to_boundary(masks[i].copy(), 6,
+                                    dilation_ratio=0.02, background=255)
+            np.testing.assert_array_equal(got[i], want)
+
+
 def test_label_path_agrees_with_logits_argmax(rng):
     """The deploy-backed label path (BN folded, fused tail) must agree
     with argmax over the raw-graph logits everywhere except exact

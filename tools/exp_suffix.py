@@ -35,6 +35,8 @@ if _cache and _cache != "0":
 import jax.numpy as jnp
 import numpy as np
 
+from _common import default_backbone_para
+
 SEEDS = [
     ("full", None),
     ("conv1", ["backbone.conv1.0"]),
@@ -102,8 +104,7 @@ def main():
     head = os.environ.get("DCFP_EXP_MODEL", "deeplabv3")
     backbone = os.environ.get("DCFP_EXP_BACKBONE", "resnet101")
     hrnet = backbone.startswith("hrnet")
-    bpara = ({"pretrained": False} if hrnet
-             else {"os": 8, "mg_unit": [1, 2, 4], "inplanes": 128})
+    bpara = default_backbone_para(backbone)
     seeds_table = HRNET_SEEDS if hrnet else SEEDS
     model = build_model(
         head, backbone=backbone, backbone_para=bpara,

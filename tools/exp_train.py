@@ -44,12 +44,15 @@ if _cache and _cache != "0":
 import jax.numpy as jnp
 import numpy as np
 
+from _common import clear_env_compiler_options, default_backbone_para
+
 
 def sync(x):
     return np.asarray(jax.tree.leaves(x)[-1].ravel()[0])
 
 
 def main(variants):
+    clear_env_compiler_options()
     import dcfp_tpu.graph.apply as apply_mod
     from dcfp_tpu.engine.optim import build_optimizer
     from dcfp_tpu.engine.trainer import create_train_state, make_train_step
@@ -78,8 +81,7 @@ def main(variants):
         deepsup = v != "nodeepsup"
         head = os.environ.get("DCFP_EXP_MODEL", "deeplabv3")
         backbone = os.environ.get("DCFP_EXP_BACKBONE", "resnet50")
-        bpara = ({"pretrained": False} if backbone.startswith("hrnet")
-                 else {"os": 8, "mg_unit": [1, 2, 4], "inplanes": 128})
+        bpara = default_backbone_para(backbone)
         model = build_model(
             head, backbone=backbone, backbone_para=bpara,
             num_classes=19, align_corner=True, deepsup=deepsup)
@@ -130,7 +132,8 @@ def main(variants):
                                                    if v.startswith("remat")
                                                    else 0))
             if v.startswith("opt:"):
-                opts = dict(kv.split("=", 1) for kv in v[4:].split(","))
+                from dcfp_tpu.engine.deploy import parse_compiler_options
+                opts = parse_compiler_options(v[4:], source="opt:")
                 step = step.lower(state, b, key).compile(opts)
             t_c = time.time()
             state, metrics = step(state, b, key)

@@ -33,6 +33,9 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+from _common import clear_env_compiler_options  # noqa: E402
+from dcfp_tpu.engine.deploy import parse_compiler_options  # noqa: E402
+
 CANDIDATES = [
     "xla_tpu_scoped_vmem_limit_kib=32768",
     "xla_tpu_scoped_vmem_limit_kib=65536",
@@ -45,15 +48,8 @@ CANDIDATES = [
 ]
 
 
-def parse(variant: str) -> dict:
-    opts = {}
-    for item in variant.split(","):
-        k, _, v = item.partition("=")
-        opts[k.strip()] = v.strip()
-    return opts
-
-
 def main(variants):
+    clear_env_compiler_options()
     from dcfp_tpu.engine.deploy import (aot_compile_split, benchmark,
                                         make_split_inference_fn)
     from dcfp_tpu.graph.apply import init_graph
@@ -95,12 +91,13 @@ def main(variants):
 
     ref = None
     for variant in [""] + list(variants):
-        opts = parse(variant) if variant else {}
+        opts = (parse_compiler_options(variant, source="variant")
+                if variant else {})
         label = variant or "(baseline)"
         try:
             compiled = aot_compile_split(
                 body_fn, tail_fn, dev_params, nchw, input_format="nchw",
-                compiler_options=opts or None)
+                compiler_options=opts)
             stats = benchmark(lambda img: compiled(dev_params, img),
                               image, warmup=warmup, iters=iters)
         except Exception as e:

@@ -34,6 +34,8 @@ if _cache and _cache != "0":
 import jax.numpy as jnp
 import numpy as np
 
+from _common import default_backbone_para
+
 
 def sync(x):
     return np.asarray(jax.tree.leaves(x)[-1].ravel()[0])
@@ -50,8 +52,7 @@ def build_step(variant, batch):
     rng = np.random.default_rng(0)
     head = os.environ.get("DCFP_EXP_MODEL", "deeplabv3")
     backbone = os.environ.get("DCFP_EXP_BACKBONE", "resnet50")
-    bpara = ({"pretrained": False} if backbone.startswith("hrnet")
-             else {"os": 8, "mg_unit": [1, 2, 4], "inplanes": 128})
+    bpara = default_backbone_para(backbone)
     model = build_model(
         head, backbone=backbone, backbone_para=bpara,
         num_classes=19, align_corner=True, deepsup=True)
