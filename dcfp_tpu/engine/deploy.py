@@ -519,7 +519,10 @@ def parse_compiler_options(raw: str, source: str = "--xla-options"
             try:
                 v = int(v)
             except ValueError:
-                pass
+                try:
+                    v = float(v)
+                except ValueError:
+                    pass
         opts[k.strip()] = v
     return opts
 

@@ -33,7 +33,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from _common import clear_env_compiler_options  # noqa: E402
+from _common import clear_env_compiler_options, default_backbone_para  # noqa: E402
 from dcfp_tpu.engine.deploy import parse_compiler_options  # noqa: E402
 
 CANDIDATES = [
@@ -61,8 +61,7 @@ def main(variants):
     head = os.environ.get("DCFP_EXP_MODEL", "deeplabv3")
     backbone = os.environ.get("DCFP_EXP_BACKBONE", "resnet101")
     hrnet = backbone.startswith("hrnet")
-    bpara = ({"pretrained": False} if hrnet
-             else {"os": 8, "mg_unit": [1, 2, 4], "inplanes": 128})
+    bpara = default_backbone_para(backbone)
     model = build_model(
         head, backbone=backbone, backbone_para=bpara,
         num_classes=19, align_corner=True, deepsup=False)
@@ -91,10 +90,10 @@ def main(variants):
 
     ref = None
     for variant in [""] + list(variants):
-        opts = (parse_compiler_options(variant, source="variant")
-                if variant else {})
         label = variant or "(baseline)"
         try:
+            opts = (parse_compiler_options(variant, source="variant")
+                    if variant else {})
             compiled = aot_compile_split(
                 body_fn, tail_fn, dev_params, nchw, input_format="nchw",
                 compiler_options=opts)
