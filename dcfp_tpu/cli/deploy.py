@@ -62,6 +62,16 @@ def get_parser() -> argparse.ArgumentParser:
                         "faster on TPU (stem runs as decimation matmuls; "
                         "+1.4% pruned R101, +4% HRNet-W48 — ROADMAP); "
                         "evaluate --use-aot feeds either")
+    p.add_argument("--ms", type=str, default=None,
+                   help="comma-joined eval scales (e.g. '0.75,1,1.25'): "
+                        "export one logits executable per scale shape so "
+                        "evaluate --use-aot can serve multi-scale(+flip) "
+                        "whole-image eval — the reference feeds its TRT "
+                        "engine to predict_multiscale the same way "
+                        "(evaluate.py:273-276, :198-227).  Requires "
+                        "--output logits and --input-format nhwc; "
+                        "--input-size must be the PADDED eval resolution "
+                        "(e.g. 1025,2049 for align-corner CS)")
     p.add_argument("--xla-options", type=str, default=None,
                    help="comma-separated XLA compiler options for the "
                         "deploy compile, e.g. "
@@ -69,6 +79,59 @@ def get_parser() -> argparse.ArgumentParser:
                         "builder-flag analog; also via DCFP_XLA_OPTIONS "
                         "env). Names are validated by the compiler")
     return p
+
+
+def _export_multiscale(args, graph, params, bn_state, hw, dtype) -> int:
+    """Export one serialized logits executable per eval scale so
+    ``evaluate --use-aot`` can serve multi-scale(+flip) whole-image eval —
+    the reference serves its TRT engine inside predict_multiscale the
+    same way (evaluate.py:273-276, :198-227).  Scale shapes follow the
+    evaluator's own formula: ``int(H*s), int(W*s)`` of the padded eval
+    resolution (engine/evaluator.py predict_multiscale)."""
+    from dcfp_tpu.engine.deploy import (aot_compile, benchmark,
+                                        export_serialized,
+                                        make_split_inference_fn)
+    from dcfp_tpu.utils import checkpoint as ckpt
+
+    h, w = hw
+    body_fn, tail_fn, dev_params = make_split_inference_fn(
+        graph, params, bn_state, dtype=dtype, fold_bn=True,
+        output="logits", input_format="nhwc")
+    assert tail_fn is None  # logits output has no Pallas tail
+    os.makedirs(args.save_dir, exist_ok=True)
+    ms_meta = {}
+    for tok in args.ms.split(","):
+        if not tok.strip():
+            continue
+        key = str(float(tok))  # evaluate normalizes scales via float()
+        hs, ws = int(h * float(tok)), int(w * float(tok))
+        shape = (args.batch_size, hs, ws, 3)
+        fname = f"model_s{key}.stablehlo"
+        export_serialized(body_fn, dev_params, shape,
+                          os.path.join(args.save_dir, fname))
+        ms_meta[key] = {"file": fname, "input": list(shape)}
+    ckpt.save_pytree(os.path.join(args.save_dir, "deploy_params.msgpack"),
+                     dev_params)
+    with open(os.path.join(args.save_dir, "meta.json"), "w") as f:
+        json.dump({"input": [args.batch_size, h, w, 3],
+                   "dtype": args.dtype, "output": "logits",
+                   "form": "split", "input_format": "nhwc",
+                   "split_tail": False, "ms": ms_meta}, f)
+
+    # latency at the largest scale (the per-image cost is dominated by it)
+    big = max(ms_meta.values(), key=lambda m: m["input"][1] * m["input"][2])
+    shape = tuple(big["input"])
+    compiled = aot_compile(body_fn, dev_params, shape)
+    image = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, shape).astype(np.float32))
+    stats = benchmark(lambda img: compiled(dev_params, img), image,
+                      warmup=args.warmup, iters=args.iters)
+    print(json.dumps({"input": list(shape), "dtype": args.dtype,
+                      "form": "ms", "scales": sorted(ms_meta),
+                      "ms_per_batch": round(stats["ms_per_batch"], 3),
+                      "images_per_sec": round(stats["images_per_sec"],
+                                              3)}))
+    return 0
 
 
 def main(argv=None) -> int:
@@ -105,6 +168,20 @@ def main(argv=None) -> int:
              else (args.batch_size, h, w, 3))
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
              "bf16": jnp.bfloat16}[args.dtype]
+
+    if args.ms is not None:
+        if args.output != "logits":
+            raise SystemExit("--ms exports probability executables for "
+                             "scale averaging: use --output logits")
+        if fmt != "nhwc":
+            raise SystemExit("--ms exports feed the evaluator's per-scale "
+                             "resize, which is NHWC: use "
+                             "--input-format nhwc")
+        if not args.save_dir:
+            raise SystemExit("--ms needs --save-dir (it exists to write "
+                             "the serialized per-scale artifact set)")
+        return _export_multiscale(args, graph, params, bn_state,
+                                  (h, w), dtype)
 
     # body and tail compile as separate executables by default:
     # one-program compilation can cost the conv chain XLA's tiled

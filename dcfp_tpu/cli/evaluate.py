@@ -51,12 +51,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default="float32",
                    help="float32|bfloat16 inference")
     p.add_argument("--use-aot", type=str2bool, default=False,
-                   help="serve a serialized AOT executable (deploy.py "
+                   help="serve serialized AOT executables (deploy.py "
                         "export; the --use-trt analog).  Modes: whole-"
-                        "image ss (argmax export) or sliding-window ss "
-                        "(tile-shaped --output logits export); ms/flip "
-                        "need the regular jit path — like the "
-                        "reference's fixed-shape TRT engine")
+                        "image ss (argmax export), sliding-window with "
+                        "any ms/flip (tile-shaped --output logits "
+                        "export), whole-image ms/flip (per-scale logits "
+                        "set from deploy --ms)")
     p.add_argument("--aot-path", type=str, default=None)
     p.add_argument("--pipeline", type=str2bool, default=False,
                    help="throughput mode for whole-image ss eval: keep "
@@ -120,19 +120,16 @@ def main(argv=None) -> int:
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
              "bf16": jnp.bfloat16}[args.dtype]
     scales_chk = [float(s) for s in args.ms.split(",") if s]
+    # serving modes (the reference feeds its TRT engine to every eval
+    # mode, evaluate.py:273-276):
+    # * whole-image ss        -> one argmax executable (deploy default)
+    # * sliding (any ms/flip) -> one tile-shaped logits executable;
+    #   every tile runs at the canonical tile shape regardless of scale
+    # * whole-image ms/flip   -> per-scale logits executables
+    #   (deploy --ms), dispatched by the scaled input shape
     aot_whole = args.whole and scales_chk == [1.0] and not args.flip
-    aot_sliding = (not args.whole and scales_chk == [1.0]
-                   and not args.flip)
-    if args.use_aot and not (aot_whole or aot_sliding):
-        # same contract as the reference's fixed-shape TRT engine
-        # (totrt.py:113-121 builds for ONE input shape): serving
-        # multi-scale/flip through a fixed-shape executable is not
-        # meaningful — use the regular jit path for those modes
-        raise SystemExit("--use-aot serves fixed-shape executables: "
-                         "whole-image (--whole true --ms 1 --flip false, "
-                         "argmax export) or sliding tiles (--whole false "
-                         "--ms 1 --flip false, deploy --output logits "
-                         "--input-size <tile>)")
+    aot_sliding = not args.whole
+    aot_ms = args.whole and not aot_whole
     if args.use_aot and aot_whole and (args.longsize > 0
                                        or args.shortsize > 0):
         # the resize protocol argmaxes AFTER resizing logits back to the
@@ -157,12 +154,13 @@ def main(argv=None) -> int:
                 f"missing {params_path} (written by cli.deploy next to "
                 "the serialized executable)")
         meta_path = os.path.join(aot_dir, "meta.json")
+        meta = None
         aot_fmt = "nhwc"
         if os.path.isfile(meta_path):
             import json
             with open(meta_path) as f:
                 meta = json.load(f)
-            want_out = "logits" if aot_sliding else "argmax"
+            want_out = "argmax" if aot_whole else "logits"
             if meta.get("output") != want_out:
                 raise SystemExit(
                     f"this eval mode needs a deploy --output {want_out} "
@@ -179,22 +177,47 @@ def main(argv=None) -> int:
                     f"tile executable shape {meta['input'][1:3]} != "
                     f"--input-size {args.input_size}")
         from dcfp_tpu.engine.deploy import load_serialized
-        run = load_serialized(args.aot_path)
-        if aot_fmt == "nchw":
-            # one device-side transpose per image; the NCHW stem path it
-            # unlocks is worth more than the copy (ROADMAP: +1.4% R101,
-            # +4% HRNet-W48)
-            _body = run
-            run = (lambda p, img: _body(p, jnp.transpose(img,
-                                                         (0, 3, 1, 2))))
         aot_params = ckpt.load_pytree(params_path)
         aot_params = jax.tree.map(jnp.asarray, aot_params)
         predictor = Predictor(graph, params, bn_state, dtype=dtype,
                               normalize=normalize)
-        if aot_sliding:
-            predictor.use_aot_tiles(run, aot_params)
+        if aot_ms:
+            # whole-image multi-scale/flip: per-scale logits executables
+            # (cli.deploy --ms), dispatched by the scaled input shape —
+            # the reference serves its TRT engine inside
+            # predict_multiscale the same way (evaluate.py:273-276)
+            if meta is None or "ms" not in meta:
+                raise SystemExit(
+                    "whole-image ms/flip serving needs a per-scale "
+                    "artifact set: export with cli.deploy --ms "
+                    f"'{args.ms}' --output logits")
+            missing = [s for s in scales_chk
+                       if str(s) not in meta["ms"]]
+            if missing:
+                raise SystemExit(
+                    f"scales {missing} not in the exported set "
+                    f"{sorted(meta['ms'])} — re-export with "
+                    f"cli.deploy --ms '{args.ms}'")
+            runs_by_hw = {}
+            for s in scales_chk:
+                ent = meta["ms"][str(s)]
+                run_s = load_serialized(os.path.join(aot_dir,
+                                                     ent["file"]))
+                runs_by_hw[tuple(ent["input"][1:3])] = run_s
+            predictor.use_aot_scales(runs_by_hw, aot_params)
         else:
-            predictor.use_aot_whole(run, aot_params)
+            run = load_serialized(args.aot_path)
+            if aot_fmt == "nchw":
+                # one device-side transpose per image; the NCHW stem
+                # path it unlocks is worth more than the copy (ROADMAP:
+                # +1.4% R101, +4% HRNet-W48)
+                _body = run
+                run = (lambda p, img: _body(
+                    p, jnp.transpose(img, (0, 3, 1, 2))))
+            if aot_sliding:
+                predictor.use_aot_tiles(run, aot_params)
+            else:
+                predictor.use_aot_whole(run, aot_params)
     else:
         mesh = None
         if args.eval_shard != "none":

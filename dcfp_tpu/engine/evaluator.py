@@ -319,8 +319,38 @@ class Predictor:
         """Route sliding-window tiles through a tile-shaped serialized
         executable (logits output).  The executable's fixed input shape
         must match (batch, tile_h, tile_w, 3); the overlap scatter-add
-        still runs in a jitted program on device."""
+        still runs in a jitted program on device.  Works under
+        multi-scale + flip too: every tile runs at the canonical tile
+        shape regardless of the scaled image size (undersized borders
+        zero-pad, reference evaluate.py:166-171)."""
         self._aot_tile = (run, aot_params)
+
+    def use_aot_scales(self, runs_by_hw: Dict[Tuple[int, int], object],
+                       aot_params) -> None:
+        """Route whole-image forwards through per-scale serialized logits
+        executables, dispatched by the input's spatial shape.
+
+        The reference serves its fixed-shape TRT engine as the model
+        inside every eval mode (evaluate.py:273-276 feeding
+        predict_multiscale :198-227); scales are static per recipe, so
+        the TPU analog is one logits executable per scale shape
+        (cli.deploy --ms).  Flip needs no extra executables — the
+        flipped forward runs at the same shape."""
+
+        def fwd(p, s, image):
+            hw = (int(image.shape[1]), int(image.shape[2]))
+            run = runs_by_hw.get(hw)
+            if run is None:
+                raise ValueError(
+                    f"no serialized executable for input {hw}; this "
+                    f"artifact covers {sorted(runs_by_hw)} — re-export "
+                    "with cli.deploy --ms matching the eval scales and "
+                    "--input-size matching the (padded) eval resolution")
+            return run(aot_params, image.astype(jnp.float32))
+
+        self._fwd = fwd
+        self._fwd_argmax = lambda p, s, image: jnp.argmax(
+            fwd(p, s, image), -1).astype(jnp.uint8)
 
     # -- raw uint8 input (compact eval items) -------------------------------
     def prep_raw(self, image: jnp.ndarray, valid_hw) -> jnp.ndarray:
@@ -590,16 +620,18 @@ def evaluate(predictor: Predictor, loader: Iterable, *, num_classes: int,
              result_file: Optional[str] = None,
              result_tag: str = "", pipeline: bool = False) -> Dict:
     if pipeline:
-        if (whole and tuple(scales) == (1.0,) and not flip
-                and longsize <= 0 and shortsize <= 0 and iou_type == "mask"
+        if (longsize <= 0 and shortsize <= 0 and iou_type == "mask"
                 and save_predict_dir is None):
             return evaluate_pipelined(
                 predictor, loader, num_classes=num_classes,
-                ignore_label=ignore_label, align_corner=align_corner,
+                ignore_label=ignore_label, whole=whole, scales=scales,
+                flip=flip, tile_size=tile_size,
+                align_corner=align_corner,
                 fps_warmup=fps_warmup, result_file=result_file,
                 result_tag=result_tag)
-        log.warning("pipeline mode needs whole-image ss mask eval "
-                    "without prediction saving; using the protocol loop")
+        log.warning("pipeline mode needs mask eval without prediction "
+                    "saving or longsize/shortsize logits-resize; using "
+                    "the protocol loop")
     cm = np.zeros((num_classes, num_classes), np.float64)
     pure_inf_time, fps = 0.0, 0.0
     n_imgs = 0
@@ -737,22 +769,33 @@ def _finalize_eval(cm: np.ndarray, fps: float,
 
 def evaluate_pipelined(predictor: Predictor, loader: Iterable, *,
                        num_classes: int, ignore_label: int = 255,
+                       whole: bool = True,
+                       scales: Sequence[float] = (1.0,),
+                       flip: bool = False,
+                       tile_size: Tuple[int, int] = (769, 769),
                        align_corner: bool = False, fps_warmup: int = 5,
                        flush_every: int = 128,
                        result_file: Optional[str] = None,
                        result_tag: str = "") -> Dict:
-    """Throughput-mode whole-image single-scale eval: no per-image host
-    sync.
+    """Throughput-mode eval: no per-image host sync.
 
     The protocol loop (:func:`evaluate`) brackets every image with a
     host fetch (reference evaluate.py:327-337) — over a tunneled or
     remote chip that floors FPS at the round-trip latency regardless of
-    device speed.  Here the H2D copy, forward, argmax and confusion
+    device speed.  Here the H2D copy, forwards, argmax and confusion
     update all stay on device and dispatch asynchronously; only the
     (C, C) int32 counts matrix is fetched every ``flush_every`` images
-    (bounding int32 overflow), so the loop runs at device speed.  The
-    mIoU is bit-identical to the protocol loop; FPS is the wall-clock
-    of the pipelined loop after ``fps_warmup`` images."""
+    (bounding int32 overflow), so the loop runs at device speed.
+
+    Covers every probability-averaging mode: whole-image ss takes the
+    deploy label path; multi-scale / flip / sliding-window run the same
+    device-resident :meth:`Predictor.predict_multiscale` the protocol
+    loop uses (per-scale forwards, tile scatter-adds and the final
+    argmax never leave the device) — exactly the modes where removing
+    the per-image sync pays the most, since each image is several
+    forwards.  mIoU is bit-identical to the protocol loop; FPS is the
+    wall-clock of the pipelined loop after ``fps_warmup`` images."""
+    ss_whole = whole and tuple(scales) == (1.0,) and not flip
     cm_host = np.zeros((num_classes, num_classes), np.float64)
     cm_dev = jnp.zeros((num_classes, num_classes), jnp.int32)
     t0 = None
@@ -778,13 +821,15 @@ def evaluate_pipelined(predictor: Predictor, loader: Iterable, *,
                 "the protocol loop (or evaluate_test for submissions)")
         label = batch["label"]
         size_scale = image.shape[1:3]
-        if align_corner:
+        if whole and align_corner:
             ph, pw = pad_inf(size_scale)
             if (ph, pw) != size_scale:
                 image = np.pad(image,
                                ((0, 0), (0, ph - size_scale[0]),
                                 (0, pw - size_scale[1]), (0, 0)))
-        if predictor.bucket_quantum:
+        if ss_whole and predictor.bucket_quantum:
+            # ms/sliding never bucket: per-scale shapes derive from the
+            # true (h, w) in the protocol loop too (predict_multiscale)
             h, w = image.shape[1:3]
             bh, bw = bucket_hw((h, w), predictor.bucket_quantum,
                                align_corner)
@@ -796,7 +841,12 @@ def evaluate_pipelined(predictor: Predictor, loader: Iterable, *,
             # compact item: raw uint8 over the wire (4x less H2D),
             # normalized + pad-masked on device, bitwise-equal logits
             dev = predictor.prep_raw(dev, size_scale)
-        out = predictor.predict_whole_labels(dev)
+        if ss_whole:
+            out = predictor.predict_whole_labels(dev)
+        else:
+            out = predictor.predict_multiscale(
+                dev, tile_size, scales, num_classes, flip, align_corner,
+                whole)
         out = out[:, :size_scale[0], :size_scale[1]]
         lab = np.asarray(label)
         gt = jnp.asarray(lab if lab.dtype == np.uint8

@@ -198,7 +198,8 @@ def test_evaluate_serves_aot_artifact(cs_fixture, tmp_path_factory):
         "--result-file", result_file]) == 0
     assert "meanIU" in open(result_file).read()
 
-    # guard: multi-scale serving of a fixed-shape artifact is rejected
+    # guard: multi-scale serving of an ARGMAX artifact is rejected (ms
+    # averages probabilities; it needs a per-scale logits set)
     import pytest
     with pytest.raises(SystemExit):
         evaluate.main([
@@ -288,6 +289,47 @@ def test_evaluate_serves_aot_artifact(cs_fixture, tmp_path_factory):
             "--aot-path", os.path.join(tile_dir, "model.stablehlo")])
     m["input_format"] = "nhwc"
     open(tile_meta, "w").write(json.dumps(m))
+
+    # whole-image multi-scale + flip serving through a per-scale logits
+    # artifact set (deploy --ms; the reference feeds its TRT engine to
+    # predict_multiscale, evaluate.py:273-276 + :198-227)
+    ms_dir = os.path.join(work, "deploy_ms")
+    assert deploy.main([
+        "--dataset", "CS", "--model", "simple", "--backbone", "resnet50",
+        "--backbone-para", BACKBONE_PARA, "--align-corner", "false",
+        "--input-size", "72,96", "--output", "logits", "--ms", "0.5,1",
+        "--restore-from", ckpt_path, "--save-dir", ms_dir,
+        "--warmup", "1", "--iters", "2", "--dtype", "float32"]) == 0
+    ms_meta = json.loads(open(os.path.join(ms_dir, "meta.json")).read())
+    assert sorted(ms_meta["ms"]) == ["0.5", "1.0"]
+    assert ms_meta["ms"]["0.5"]["input"] == [1, 36, 48, 3]
+    common_ms = ["--dataset", "CS", "--data-dir", "val", "--model",
+                 "simple", "--backbone", "resnet50", "--backbone-para",
+                 BACKBONE_PARA, "--align-corner", "false",
+                 "--whole", "true", "--ms", "0.5,1", "--flip", "true",
+                 "--restore-from", ckpt_path]
+    rf_ms_aot = os.path.join(work, "result_ms_aot.txt")
+    assert evaluate.main(common_ms + [
+        "--use-aot", "true",
+        "--aot-path", os.path.join(ms_dir, "model_s1.0.stablehlo"),
+        "--result-file", rf_ms_aot]) == 0
+    rf_ms_jit = os.path.join(work, "result_ms_jit.txt")
+    assert evaluate.main(common_ms + ["--result-file", rf_ms_jit]) == 0
+    miou_ms_aot = json.loads(
+        open(rf_ms_aot).read().splitlines()[1])["meanIU"]
+    miou_ms_jit = json.loads(
+        open(rf_ms_jit).read().splitlines()[1])["meanIU"]
+    # served executables are BN-folded (deploy params); the jit path
+    # runs raw BN — same values up to float reassociation
+    assert abs(miou_ms_aot - miou_ms_jit) < 0.02, (miou_ms_aot,
+                                                   miou_ms_jit)
+
+    # a scale outside the exported set is rejected up front
+    with pytest.raises(SystemExit):
+        evaluate.main(common_ms[:common_ms.index("--ms") + 1] + [
+            "0.75,1", "--flip", "true", "--restore-from", ckpt_path,
+            "--use-aot", "true",
+            "--aot-path", os.path.join(ms_dir, "model_s1.0.stablehlo")])
 
 
 def test_ctx_pipeline_minimal(tmp_path_factory):

@@ -467,11 +467,27 @@ def test_pipelined_eval_matches_protocol_loop(rng, tmp_path):
     assert res_pipe["meanIU"] == res_proto["meanIU"]
     assert res_pipe["fps"] > 0
 
-    # modes outside the fast path fall back to the protocol loop
+    # ms/flip and sliding-window run pipelined too (the per-scale
+    # forwards, tile scatter-adds and argmax were already device-side in
+    # the protocol loop, so the confusion stays bit-identical)
+    for kw2 in [dict(whole=True, scales=(0.5, 1.0), flip=True),
+                dict(whole=False, tile_size=(24, 24))]:
+        res_a = evaluate(p, loader(), num_classes=6, align_corner=True,
+                         fps_warmup=2, **kw2)
+        res_b = evaluate(p, loader(), num_classes=6, align_corner=True,
+                         fps_warmup=2, pipeline=True, **kw2)
+        np.testing.assert_array_equal(res_b["confusion"],
+                                      res_a["confusion"])
+        assert res_b["meanIU"] == res_a["meanIU"]
+
+    # logits-resize protocols still fall back to the protocol loop
     res_fb = evaluate(p, loader(), num_classes=6, whole=True,
                       align_corner=True, fps_warmup=2, pipeline=True,
-                      scales=(0.5, 1.0))
-    assert res_fb["confusion"].sum() == res_proto["confusion"].sum()
+                      longsize=40)
+    res_ls = evaluate(p, loader(), num_classes=6, whole=True,
+                      align_corner=True, fps_warmup=2, longsize=40)
+    np.testing.assert_array_equal(res_fb["confusion"],
+                                  res_ls["confusion"])
 
 
 def test_compact_uint8_eval_matches_f32(rng):
