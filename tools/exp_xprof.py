@@ -8,7 +8,7 @@ tunnel; the trace file is not).
 
 Usage:
   python tools/exp_xprof.py [batch] [top_n] [variant]
-Variant: train (default) | fwd | deploy
+Variant: train (default) | fwd | deploy | deploy_pruned | hrnet
 Output: top ops by total device time, grouped by fusion name prefix.
 """
 
@@ -78,7 +78,7 @@ def build_step(variant, batch):
 
         key = jax.random.key(1)
         return lambda s: (s, fwd(params, bn, b, key)), None
-    if variant in ("deploy", "hrnet"):
+    if variant in ("deploy", "deploy_pruned", "hrnet"):
         from dcfp_tpu.engine.deploy import aot_compile, make_inference_fn
         if variant == "hrnet":
             dmodel = build_model(
@@ -92,7 +92,26 @@ def build_step(variant, batch):
                                "inplanes": 128},
                 num_classes=19, align_corner=True, deepsup=False)
         dparams, dbn = init_graph(dmodel.graph, jax.random.key(0))
-        ifmt = "nchw" if variant == "deploy" else "nhwc"
+        if variant == "deploy_pruned":
+            # the bench.py headline model: synthetic-EIC prune to ~47%
+            # FLOPs with channel_align=128 (same recipe as bench.py)
+            from dcfp_tpu.prune.eic import prunable_bn_names
+            from dcfp_tpu.prune.search import prune_to_flops
+            g = dmodel.graph
+            prng = np.random.default_rng(7)
+            eic = {bn: np.abs(prng.standard_normal(
+                g.node(bn).attrs["channels"])).astype(np.float32)
+                for bn in prunable_bn_names(g)}
+            result, _, report = prune_to_flops(
+                g, g, jax.tree.map(np.asarray, dparams),
+                jax.tree.map(np.asarray, dbn), eic, prune_ratio=0.5,
+                layer_keep=0.02, except_start_keys=(),
+                channel_align=128)
+            print(f"pruned to flops_ratio={report['flops_ratio']:.3f}")
+            import dataclasses
+            dmodel = dataclasses.replace(dmodel, graph=result.graph)
+            dparams, dbn = result.params, result.state
+        ifmt = "nchw" if variant.startswith("deploy") else "nhwc"
         fn, dev_params = make_inference_fn(dmodel.graph, dparams, dbn,
                                            dtype=jnp.bfloat16,
                                            fold_bn=True, output="argmax",
