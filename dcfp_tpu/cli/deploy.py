@@ -100,9 +100,7 @@ def _export_multiscale(args, graph, params, bn_state, hw, dtype) -> int:
     assert tail_fn is None  # logits output has no Pallas tail
     os.makedirs(args.save_dir, exist_ok=True)
     ms_meta = {}
-    for tok in args.ms.split(","):
-        if not tok.strip():
-            continue
+    for tok in [t for t in args.ms.split(",") if t.strip()]:
         key = str(float(tok))  # evaluate normalizes scales via float()
         hs, ws = int(h * float(tok)), int(w * float(tok))
         shape = (args.batch_size, hs, ws, 3)
@@ -151,6 +149,24 @@ def main(argv=None) -> int:
         # aot_compile* default their compiler_options from this env var
         os.environ["DCFP_XLA_OPTIONS"] = args.xla_options
 
+    if args.ms is not None:
+        # static flag validation up front — the model build below costs
+        # a minute on the tunneled chip
+        if not [t for t in args.ms.split(",") if t.strip()]:
+            raise SystemExit(f"--ms {args.ms!r} parses to zero scales — "
+                             "pass comma-joined floats, e.g. "
+                             "--ms '0.75,1'")
+        if args.output != "logits":
+            raise SystemExit("--ms exports probability executables for "
+                             "scale averaging: use --output logits")
+        if args.input_format != "nhwc":
+            raise SystemExit("--ms exports feed the evaluator's per-scale "
+                             "resize, which is NHWC: use "
+                             "--input-format nhwc")
+        if not args.save_dir:
+            raise SystemExit("--ms needs --save-dir (it exists to write "
+                             "the serialized per-scale artifact set)")
+
     num_classes = NUM_CLASSES[dataset_key(args.dataset)]
     model = build_model_from_args(args, num_classes, deepsup=False)
     graph = model.graph
@@ -170,16 +186,7 @@ def main(argv=None) -> int:
              "bf16": jnp.bfloat16}[args.dtype]
 
     if args.ms is not None:
-        if args.output != "logits":
-            raise SystemExit("--ms exports probability executables for "
-                             "scale averaging: use --output logits")
-        if fmt != "nhwc":
-            raise SystemExit("--ms exports feed the evaluator's per-scale "
-                             "resize, which is NHWC: use "
-                             "--input-format nhwc")
-        if not args.save_dir:
-            raise SystemExit("--ms needs --save-dir (it exists to write "
-                             "the serialized per-scale artifact set)")
+        # flags validated up front, before the model build above
         return _export_multiscale(args, graph, params, bn_state,
                                   (h, w), dtype)
 

@@ -130,15 +130,21 @@ def main(argv=None) -> int:
     aot_whole = args.whole and scales_chk == [1.0] and not args.flip
     aot_sliding = not args.whole
     aot_ms = args.whole and not aot_whole
-    if args.use_aot and aot_whole and (args.longsize > 0
-                                       or args.shortsize > 0):
-        # the resize protocol argmaxes AFTER resizing logits back to the
-        # original resolution (reference evaluate.py:340-343); an argmax
-        # executable emits labels, which cannot be bilinear-resized
-        raise SystemExit("--use-aot whole-image serving emits argmax "
-                         "labels and cannot run the longsize/shortsize "
-                         "logits-resize protocol — drop "
-                         "--longsize/--shortsize or use the jit path")
+    if args.use_aot and (aot_whole or aot_ms) and (args.longsize > 0
+                                                   or args.shortsize > 0):
+        # whole-ss: the resize protocol argmaxes AFTER resizing logits
+        # back to the original resolution (reference evaluate.py:340-343);
+        # an argmax executable emits labels, which cannot be bilinear-
+        # resized.  whole-ms: per-scale executables are exported at fixed
+        # shapes derived from --input-size, but the resize protocol gives
+        # each image its own resized+padded shape — the dispatch-by-shape
+        # lookup would fail mid-eval on the first mismatched image
+        raise SystemExit(
+            "--use-aot whole-image serving cannot run the longsize/"
+            "shortsize resize protocol (ss exports emit argmax labels, "
+            "which cannot be logits-resized; ms exports are fixed-shape "
+            "per scale, but the resize protocol produces per-image "
+            "shapes) — drop --longsize/--shortsize or use the jit path")
     if args.use_aot:
         if not args.aot_path:
             raise SystemExit("--use-aot requires --aot-path "

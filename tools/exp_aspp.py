@@ -35,7 +35,6 @@ import argparse
 import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -43,13 +42,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_cache = os.environ.get("DCFP_COMPILE_CACHE",
-                        os.path.expanduser("~/.cache/dcfp_tpu_xla"))
-if _cache and _cache != "0":
-    os.makedirs(_cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+from _common import bench as _bench, setup_compile_cache, sync  # noqa: E402,F401
+
+setup_compile_cache()
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -57,21 +52,9 @@ from jax.experimental.pallas import tpu as pltpu
 DILATIONS = (12, 24, 36)  # os8 ASPP (reference aspp.py:40-46)
 DMAX = max(DILATIONS)
 
-
-def sync(x):
-    return np.asarray(x.ravel()[0])
-
-
-def bench(fn, args_, iters, warmup=3):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args_)
-    sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args_)
-    sync(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+# fewer warmups than the shared default: a Mosaic compile of the fused
+# kernel is minutes, and 3 suffices once the executable is cached
+bench = functools.partial(_bench, warmup=3)
 
 
 def _aspp_kernel(xp_hbm, w_ref, o_ref, xt_ref, acc_ref, sem, *,

@@ -24,7 +24,6 @@ Usage: python tools/exp_hrnet_lanes.py [--iters 30]
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -32,17 +31,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_cache = os.environ.get("DCFP_COMPILE_CACHE",
-                        os.path.expanduser("~/.cache/dcfp_tpu_xla"))
-if _cache and _cache != "0":
-    os.makedirs(_cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+from _common import bench, setup_compile_cache, sync  # noqa: E402,F401
 
-
-def sync(x):
-    return np.asarray(x.ravel()[0])
+setup_compile_cache()
 
 
 def conv_nhwc(x, k):
@@ -67,18 +58,6 @@ def conv_wlanes(xc, k):
     y = jnp.einsum("ok,nkhw->nohw", w9, x9,
                    preferred_element_type=jnp.float32)
     return y.astype(jnp.bfloat16)
-
-
-def bench(fn, args_, iters, warmup=5):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args_)
-    sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args_)
-    sync(out)
-    return (time.perf_counter() - t0) / iters * 1e3
 
 
 CHAIN = 20  # convs chained per jitted call: these ops are ~0.1 ms, so

@@ -26,7 +26,6 @@ import argparse
 import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -34,32 +33,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_cache = os.environ.get("DCFP_COMPILE_CACHE",
-                        os.path.expanduser("~/.cache/dcfp_tpu_xla"))
-if _cache and _cache != "0":
-    os.makedirs(_cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+from _common import bench, setup_compile_cache, sync  # noqa: E402
+
+setup_compile_cache()
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-
-def sync(x):
-    return np.asarray(x.ravel()[0])
-
-
-def bench(fn, args_, iters, warmup=5):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args_)
-    sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args_)
-    sync(out)
-    return (time.perf_counter() - t0) / iters * 1e3
 
 
 # ---------------------------------------------------------------------------

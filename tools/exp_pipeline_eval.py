@@ -9,6 +9,12 @@ synthetic val images once and replays them N times so the comparison
 isolates the dispatch discipline from host PNG decode.
 
 Usage: python tools/exp_pipeline_eval.py [N_IMAGES] [--compact]
+       [--ms] [--sliding]
+
+--ms / --sliding run the protocol-vs-pipelined comparison for the
+multi-scale(0.75,1)+flip and sliding-window(769² tiles) modes instead
+of whole-image ss — the expensive protocols where removing the
+per-image sync pays the most (round-3 VERDICT item 7).
 
 --compact additionally measures raw-uint8 items (device-side
 normalize): the classic f32 item is 24 MB image + 8 MB int32 label per
@@ -61,16 +67,23 @@ def main() -> int:
             yield {"img": it["img"][None], "label": it["label"][None],
                    "img_meta": [it["img_meta"]]}
 
+    whole = "--sliding" not in sys.argv
+    scales = (0.75, 1.0) if "--ms" in sys.argv else (1.0,)
+    flip = "--ms" in sys.argv
+    mode = dict(whole=whole, scales=scales, flip=flip,
+                tile_size=(769, 769))
+    print(f"mode: {mode}", flush=True)
+
     t0 = time.perf_counter()
-    res_p = evaluate(pred, loader(), num_classes=19, whole=True,
-                     align_corner=True, fps_warmup=5)
+    res_p = evaluate(pred, loader(), num_classes=19,
+                     align_corner=True, fps_warmup=5, **mode)
     t_proto = time.perf_counter() - t0
     print(f"protocol:  FPS {res_p['fps']:.2f}  wall {t_proto:.1f}s  "
           f"meanIU {res_p['meanIU']:.4f}", flush=True)
 
     t0 = time.perf_counter()
     res_q = evaluate_pipelined(pred, loader(), num_classes=19,
-                               align_corner=True, fps_warmup=5)
+                               align_corner=True, fps_warmup=5, **mode)
     t_pipe = time.perf_counter() - t0
     print(f"pipelined: FPS {res_q['fps']:.2f}  wall {t_pipe:.1f}s  "
           f"meanIU {res_q['meanIU']:.4f}", flush=True)
@@ -95,7 +108,8 @@ def main() -> int:
 
         t0 = time.perf_counter()
         res_c = evaluate_pipelined(predc, loader_c(), num_classes=19,
-                                   align_corner=True, fps_warmup=5)
+                                   align_corner=True, fps_warmup=5,
+                                   **mode)
         t_c = time.perf_counter() - t0
         print(f"pipelined+compact: FPS {res_c['fps']:.2f}  "
               f"wall {t_c:.1f}s  meanIU {res_c['meanIU']:.4f}",

@@ -95,7 +95,6 @@ def train_cost(graph, hw, node, dtype_bytes, batch):
     are free in both directions (optimistic fusion bound); pools and
     resizes pay their traffic twice (fwd + grad scatter)."""
     fwd_flops, fwd_bytes = node_cost(graph, hw, node, dtype_bytes)
-    fwd_flops, fwd_bytes = fwd_flops * batch, fwd_bytes * batch
     op = node.op
     if op == "conv":
         a = node.attrs
@@ -104,12 +103,19 @@ def train_cost(graph, hw, node, dtype_bytes, batch):
         oh, ow = hw[node.name]
         from dcfp_tpu.utils.flops import _channels
         out_b = oh * ow * _channels(graph, node.name) * dtype_bytes
-        in_b = fwd_bytes / batch - out_b - w_bytes
-        bwd_flops = 2 * (fwd_flops - 0)  # dX + dW, each a full conv
+        in_b = fwd_bytes - out_b - w_bytes  # per-sample activation reads
+        # weights are read ONCE per step, not once per sample — only the
+        # activation traffic scales with batch (matches the bwd model,
+        # which likewise charges 2*w_bytes once)
+        fwd_flops = fwd_flops * batch
+        fwd_bytes = batch * (in_b + out_b) + w_bytes
+        bwd_flops = 2 * fwd_flops  # dX + dW, each a full conv
         bwd_bytes = batch * (2 * in_b + out_b) + 2 * w_bytes
     elif op in ELEMENTWISE:
+        fwd_flops, fwd_bytes = fwd_flops * batch, fwd_bytes * batch
         bwd_flops, bwd_bytes = fwd_flops, 0
     else:  # pools / resizes / concat: grad pass mirrors the fwd traffic
+        fwd_flops, fwd_bytes = fwd_flops * batch, fwd_bytes * batch
         bwd_flops, bwd_bytes = fwd_flops, fwd_bytes
     return fwd_flops + bwd_flops, fwd_bytes + bwd_bytes, fwd_flops, \
         fwd_bytes

@@ -119,13 +119,17 @@ def cmd_tpu(args) -> int:
             "--longsize", str(r["longsize"]),
             "--shortsize", str(r["shortsize"])]
 
-    # resample index (reference label_index.py; consumed by --resample)
+    # resample index (reference label_index.py; consumed by --resample).
+    # The dataset loader reads it from the LIST file's directory
+    # (data/datasets.py: osp.dirname(list_path)), so write it there —
+    # not the dataset root, which only coincides with it in fixtures.
     from dcfp_tpu.data.paths import data_dir
-    root, _ = data_dir(args.dataset, "train")
-    pkl = os.path.join(root, f"label_index_{args.dataset}.pkl")
+    _, list_path = data_dir(args.dataset, "train")
+    pkl_dir = os.path.dirname(os.path.abspath(list_path))
+    pkl = os.path.join(pkl_dir, f"label_index_{args.dataset}.pkl")
     if not os.path.exists(pkl):
         _run_cli("label_index",
-                 ["--dataset", args.dataset, "--save-dir", root])
+                 ["--dataset", args.dataset, "--save-dir", pkl_dir])
 
     _run_cli("train", base + size + devs + [
         "--balance", "0", "--loss-type", "ce",
@@ -222,12 +226,24 @@ def cmd_compare(args) -> int:
     if not ours or not ref:
         raise SystemExit(f"no result blocks parsed "
                          f"(ours={len(ours)}, ref={len(ref)})")
+    if args.ours_block is not None or args.ref_block is not None:
+        ours = [ours[args.ours_block if args.ours_block is not None
+                     else -1]]
+        ref = [ref[args.ref_block if args.ref_block is not None else -1]]
     n = min(len(ours), len(ref))
     if len(ours) != len(ref):
+        # The reference tags blocks with the checkpoint path only
+        # (evaluate.py:387) — protocol (ss vs ms) is not recoverable
+        # from tags, but recipes append ss FIRST then ms, so aligning
+        # from the start pairs like with like (e.g. an ours run with
+        # --skip-ms still pairs its ss block with the reference's ss,
+        # not its ms).  Use --ours-block/--ref-block to pair manually.
         print(f"[parity] block counts differ (ours={len(ours)}, "
-              f"ref={len(ref)}); comparing the last {n} of each")
+              f"ref={len(ref)}); comparing the FIRST {n} of each "
+              f"(recipe order: ss, then ms) — check the printed tags, "
+              f"or pick blocks with --ours-block/--ref-block")
     ok = True
-    for o, r in zip(ours[-n:], ref[-n:]):
+    for o, r in zip(ours[:n], ref[:n]):
         diff = o["meanIU"] - r["meanIU"]
         status = "OK" if abs(diff) <= args.tol else "FAIL"
         if abs(diff) > args.tol:
@@ -276,6 +292,12 @@ def main(argv=None) -> int:
     c.add_argument("ref")
     c.add_argument("--tol", type=float, default=0.3,
                    help="north-star bound (BASELINE.md): |mIoU diff|")
+    c.add_argument("--ours-block", type=int, default=None,
+                   help="compare only this block index of ours (0-based; "
+                        "negative ok) against --ref-block (default -1)")
+    c.add_argument("--ref-block", type=int, default=None,
+                   help="compare only this block index of the reference "
+                        "result.txt (0-based; negative ok)")
 
     args = p.parse_args(argv)
     return {"tpu": cmd_tpu, "ref-commands": cmd_ref_commands,
