@@ -152,10 +152,18 @@ def main(argv=None) -> int:
     if args.ms is not None:
         # static flag validation up front — the model build below costs
         # a minute on the tunneled chip
-        if not [t for t in args.ms.split(",") if t.strip()]:
+        toks = [t for t in args.ms.split(",") if t.strip()]
+        if not toks:
             raise SystemExit(f"--ms {args.ms!r} parses to zero scales — "
                              "pass comma-joined floats, e.g. "
                              "--ms '0.75,1'")
+        for tok in toks:
+            try:
+                float(tok)
+            except ValueError:
+                raise SystemExit(f"--ms {args.ms!r}: {tok.strip()!r} is "
+                                 "not a float — pass comma-joined "
+                                 "floats, e.g. --ms '0.75,1'") from None
         if args.output != "logits":
             raise SystemExit("--ms exports probability executables for "
                              "scale averaging: use --output logits")

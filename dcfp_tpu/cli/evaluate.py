@@ -207,6 +207,16 @@ def main(argv=None) -> int:
             runs_by_hw = {}
             for s in scales_chk:
                 ent = meta["ms"][str(s)]
+                # the (h, w) dispatch below never re-checks batch — a
+                # mismatch would only surface as jax.export's opaque
+                # aval error on the first image
+                if ent["input"][0] != args.batch_size:
+                    raise SystemExit(
+                        f"per-scale executables were exported at "
+                        f"batch {ent['input'][0]} but --batch-size is "
+                        f"{args.batch_size} — re-export with "
+                        f"cli.deploy --ms --batch-size "
+                        f"{args.batch_size}")
                 run_s = load_serialized(os.path.join(aot_dir,
                                                      ent["file"]))
                 runs_by_hw[tuple(ent["input"][1:3])] = run_s

@@ -234,6 +234,28 @@ def test_evaluate_serves_aot_artifact(cs_fixture, tmp_path_factory):
     miou_jit = json.loads(open(rf_jit).read().splitlines()[1])["meanIU"]
     assert abs(miou_aot - miou_jit) < 0.02, (miou_aot, miou_jit)
 
+    # sliding tiles under ms+flip: every tile still runs the one
+    # canonical tile executable regardless of scale; at --ms 0.5 the
+    # scaled image (36x48) is SMALLER than the tile (48,64), exercising
+    # _predict_sliding_aot's pad-to-canonical-shape path.  mIoU matches
+    # the jit sliding ms+flip protocol loop
+    common_msf = [a for a in common]
+    common_msf[common_msf.index("--ms") + 1] = "0.5,1"
+    common_msf += ["--flip", "true"]
+    rf_msf_aot = os.path.join(work, "result_sliding_msf_aot.txt")
+    assert evaluate.main(common_msf + [
+        "--use-aot", "true",
+        "--aot-path", os.path.join(tile_dir, "model.stablehlo"),
+        "--result-file", rf_msf_aot]) == 0
+    rf_msf_jit = os.path.join(work, "result_sliding_msf_jit.txt")
+    assert evaluate.main(common_msf + ["--result-file", rf_msf_jit]) == 0
+    miou_msf_aot = json.loads(
+        open(rf_msf_aot).read().splitlines()[1])["meanIU"]
+    miou_msf_jit = json.loads(
+        open(rf_msf_jit).read().splitlines()[1])["meanIU"]
+    assert abs(miou_msf_aot - miou_msf_jit) < 0.02, (miou_msf_aot,
+                                                     miou_msf_jit)
+
     # wrong-shape tile artifact is rejected via meta.json
     with pytest.raises(SystemExit):
         evaluate.main(common[:-4] + [
@@ -329,6 +351,15 @@ def test_evaluate_serves_aot_artifact(cs_fixture, tmp_path_factory):
         evaluate.main(common_ms[:common_ms.index("--ms") + 1] + [
             "0.75,1", "--flip", "true", "--restore-from", ckpt_path,
             "--use-aot", "true",
+            "--aot-path", os.path.join(ms_dir, "model_s1.0.stablehlo")])
+
+    # a batch size the per-scale executables were not exported at is
+    # rejected up front (the (h, w) dispatch never re-checks batch; a
+    # mismatch would otherwise surface as jax.export's opaque aval
+    # error on the first image)
+    with pytest.raises(SystemExit):
+        evaluate.main(common_ms + [
+            "--batch-size", "2", "--use-aot", "true",
             "--aot-path", os.path.join(ms_dir, "model_s1.0.stablehlo")])
 
 

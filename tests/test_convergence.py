@@ -21,7 +21,7 @@ practitioner would use to declare two trainers equivalent:
      both frameworks must learn, and land together.
 
 Tolerances were set from measured runs (see docs/ROADMAP.md "Round-4
-convergence-parity golden") at ~3x the observed deltas.
+convergence-parity golden") at ~2.4-3.5x the observed deltas.
 
 Run standalone for the measurement mode (prints the stats JSON):
     python -m tests.test_convergence [pretrain_steps finetune_steps]
@@ -410,9 +410,10 @@ def run_convergence(n_pre=N_PRETRAIN, n_ft=N_FINETUNE):
 def test_convergence_parity():
     stats = run_convergence()
 
-    # per-window loss trajectories track (measured max rel delta 1.5%
-    # pretrain / 1.3% finetune; tolerance ~3x — see docs/ROADMAP.md
-    # round-4 convergence section for the measurement run)
+    # per-window loss trajectories track (measured max rel delta 2.1%
+    # pretrain / 1.6% finetune, re-confirmed by a fresh measurement-mode
+    # run; tolerance ~2.4x — see docs/ROADMAP.md round-4 convergence
+    # section for the measurement run)
     for phase in ["pre", "ft"]:
         ours = np.asarray(stats[f"{phase}_windows_ours"])
         ref = np.asarray(stats[f"{phase}_windows_ref"])

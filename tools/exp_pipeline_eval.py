@@ -44,7 +44,11 @@ from dcfp_tpu.models.registry import build_model
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    # N_IMAGES is optional and flags may come first ("--ms" alone is
+    # legal per the usage line) — only consume argv[1] if it is numeric
+    n = (int(sys.argv[1])
+         if len(sys.argv) > 1 and not sys.argv[1].startswith("-")
+         else 30)
     root = os.environ.get("DCFP_CS_ROOT", "/tmp/cs_hw")
     val_list = os.environ.get("DCFP_CS_VAL_LIST",
                               os.path.join(root, "val.lst"))

@@ -33,7 +33,7 @@ Pure host-side analysis — runs anywhere, no TPU needed.
 Usage: python tools/exp_roofline.py [--model deeplabv3] [--backbone
 resnet101] [--hw 1025,2049] [--dtype-bytes 2] [--channel-cfg cfg.msgpack]
        python tools/exp_roofline.py --train [--batch 8] [--hw 769,769]
-           [--backbone resnet50] [--deepsup] [--optim sgd]
+           [--backbone resnet50] [--optim sgd] [--prune 0.5]
 Env: DCFP_PEAK_TFLOPS (default 197, v5e bf16), DCFP_PEAK_GBS (819).
 """
 
@@ -121,6 +121,34 @@ def train_cost(graph, hw, node, dtype_bytes, batch):
         fwd_bytes
 
 
+def apply_width_flags(g, args):
+    """Apply --prune (synthetic-EIC search, same recipe as bench.py) and
+    --channel-cfg to the graph — shared by the train and deploy paths so
+    both roofline the same pruned widths."""
+    if args.prune:
+        import jax
+        import numpy as np
+        from dcfp_tpu.graph.apply import init_graph
+        from dcfp_tpu.prune.eic import prunable_bn_names
+        from dcfp_tpu.prune.search import prune_to_flops
+        params, state = init_graph(g, jax.random.key(0))
+        rng = np.random.default_rng(7)
+        eic = {bn: np.abs(rng.standard_normal(
+            g.node(bn).attrs["channels"])).astype(np.float32)
+            for bn in prunable_bn_names(g)}
+        result, gp, report = prune_to_flops(
+            g, g, params, state, eic, prune_ratio=1.0 - args.prune,
+            layer_keep=0.02, except_start_keys=(), channel_align=128)
+        g = result.graph
+        print(f"pruned to flops_ratio={report['flops_ratio']:.3f} "
+              f"(global_percent={gp:.2f}, channel_align=128)")
+    if args.channel_cfg:
+        from dcfp_tpu.prune.pruner import apply_channel_cfg
+        from dcfp_tpu.utils.checkpoint import load_channel_cfg
+        g = apply_channel_cfg(g, load_channel_cfg(args.channel_cfg))
+    return g
+
+
 def run_train(args):
     import json as _json
     from dcfp_tpu.graph.shapes import infer_shapes
@@ -130,11 +158,7 @@ def run_train(args):
                         backbone_para=_json.loads(args.backbone_para),
                         num_classes=args.num_classes, align_corner=True,
                         deepsup=True)
-    g = model.graph
-    if args.channel_cfg:
-        from dcfp_tpu.prune.pruner import apply_channel_cfg
-        from dcfp_tpu.utils.checkpoint import load_channel_cfg
-        g = apply_channel_cfg(g, load_channel_cfg(args.channel_cfg))
+    g = apply_width_flags(model.graph, args)
     hw_in = tuple(int(x) for x in args.hw.split(","))
     hw = infer_shapes(g, hw_in)
     B = args.batch
@@ -258,28 +282,7 @@ def main(argv=None):
                         backbone_para=json.loads(args.backbone_para),
                         num_classes=args.num_classes, align_corner=True,
                         deepsup=False)
-    g = model.graph
-    if args.prune:
-        import jax
-        import numpy as np
-        from dcfp_tpu.graph.apply import init_graph
-        from dcfp_tpu.prune.eic import prunable_bn_names
-        from dcfp_tpu.prune.search import prune_to_flops
-        params, state = init_graph(g, jax.random.key(0))
-        rng = np.random.default_rng(7)
-        eic = {bn: np.abs(rng.standard_normal(
-            g.node(bn).attrs["channels"])).astype(np.float32)
-            for bn in prunable_bn_names(g)}
-        result, gp, report = prune_to_flops(
-            g, g, params, state, eic, prune_ratio=1.0 - args.prune,
-            layer_keep=0.02, except_start_keys=(), channel_align=128)
-        g = result.graph
-        print(f"pruned to flops_ratio={report['flops_ratio']:.3f} "
-              f"(global_percent={gp:.2f}, channel_align=128)")
-    if args.channel_cfg:
-        from dcfp_tpu.prune.pruner import apply_channel_cfg
-        from dcfp_tpu.utils.checkpoint import load_channel_cfg
-        g = apply_channel_cfg(g, load_channel_cfg(args.channel_cfg))
+    g = apply_width_flags(model.graph, args)
 
     hw_in = tuple(int(x) for x in args.hw.split(","))
     hw = infer_shapes(g, hw_in)

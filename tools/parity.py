@@ -169,6 +169,15 @@ def cmd_tpu(args) -> int:
     ft_ckpt = os.path.join(ft_dir,
                            f"{args.dataset}_scenes_{ft_steps}.msgpack")
 
+    # evaluate APPENDS to result.txt (engine/evaluator._finalize_eval
+    # opens 'a', matching the reference) — rotate any blocks from a
+    # previous parity run out of the way so `compare` judges THIS run,
+    # not stale mIoU from an earlier invocation of the same work dir.
+    if os.path.exists(result):
+        prev = result + ".prev"
+        os.replace(result, prev)
+        print(f"[parity] rotated stale {result} -> {prev}", flush=True)
+
     eval_base = base + size + [
         "--data-dir", "val", "--batch-size", "1",
         "--restore-from", ft_ckpt, "--channel-cfg", cfg,
