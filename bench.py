@@ -12,6 +12,12 @@ platforms).
 *unpruned* model through the identical deploy path — the speedup the
 pruning pipeline buys, measured on the same chip.
 
+Variance protocol: each config is timed as DCFP_BENCH_BLOCKS (default 5)
+independent 50-iter blocks after one shared warmup; the headline is the
+median block and ``detail.spread`` carries per-config min/max plus the
+raw block list, so round-over-round deltas can be read against the
+measured noise band (``detail.noise_band_pct``).
+
 Prints ONE JSON line.
 """
 
@@ -70,9 +76,10 @@ def main():
     small = (os.environ.get("DCFP_BENCH_SMALL") == "1"
              or backend == "cpu")
     if small:
-        shape, warmup, iters = (1, 257, 513, 3), 2, 5
+        shape, warmup, iters, blocks = (1, 257, 513, 3), 2, 5, 2
     else:
         shape, warmup, iters = (1, 1025, 2049, 3), 10, 50
+        blocks = int(os.environ.get("DCFP_BENCH_BLOCKS", "5"))
 
     model = build_model(
         "deeplabv3", backbone="resnet101",
@@ -99,6 +106,7 @@ def main():
     image = jnp.asarray(rng.uniform(-1, 1, nchw).astype(np.float32))
 
     modes = {}
+    spread = {}
 
     def deploy_ips(graph, p, s, batch=1, tag=""):
         b_nchw = (batch,) + nchw[1:]
@@ -115,8 +123,16 @@ def main():
             sample=b_image)
         if tag:
             modes[tag] = mode
+        # variance protocol: N independent timed blocks; the headline is
+        # the median block, detail carries the spread (VERDICT r4 item 2)
         stats = benchmark(lambda img: compiled(dev_params, img),
-                          b_image, warmup=warmup, iters=iters)
+                          b_image, warmup=warmup, iters=iters,
+                          blocks=blocks)
+        if tag:
+            spread[tag] = {"median_ms": round(stats["ms_per_batch"], 3),
+                           "min_ms": stats["ms_min"],
+                           "max_ms": stats["ms_max"],
+                           "blocks_ms": stats["ms_blocks"]}
         return stats["images_per_sec"]
 
     base_ips = deploy_ips(model.graph, params, state, tag="unpruned")
@@ -126,8 +142,11 @@ def main():
     # batch 4 measures whether img/s/chip — the north-star unit — gains
     # from batching (VERDICT r2 item 4)
     pruned_ips_b4 = deploy_ips(result.graph, result.params, result.state,
-                               batch=4)
+                               batch=4, tag="pruned_b4")
 
+    pr = spread.get("pruned", {})
+    noise_pct = (100.0 * (pr["max_ms"] - pr["min_ms"]) / pr["median_ms"]
+                 if pr else 0.0)
     print(json.dumps({
         "metric": "deeplabv3_r101_50pct_flops_1025x2049_bf16_img_per_s",
         "value": round(pruned_ips, 3),
@@ -141,6 +160,9 @@ def main():
             "flops_ratio": round(report["flops_ratio"], 4),
             "deploy_modes": modes,
             "small_mode": small,
+            "timing_blocks": blocks,
+            "spread": spread,
+            "noise_band_pct": round(noise_pct, 2),
         },
     }))
 

@@ -116,19 +116,29 @@ def _export_multiscale(args, graph, params, bn_state, hw, dtype) -> int:
                    "form": "split", "input_format": "nhwc",
                    "split_tail": False, "ms": ms_meta}, f)
 
-    # latency at the largest scale (the per-image cost is dominated by it)
-    big = max(ms_meta.values(), key=lambda m: m["input"][1] * m["input"][2])
-    shape = tuple(big["input"])
-    compiled = aot_compile(body_fn, dev_params, shape)
-    image = jnp.asarray(np.random.default_rng(0).uniform(
-        -1, 1, shape).astype(np.float32))
-    stats = benchmark(lambda img: compiled(dev_params, img), image,
-                      warmup=args.warmup, iters=args.iters)
-    print(json.dumps({"input": list(shape), "dtype": args.dtype,
+    # true serving latency: benchmark EVERY scale executable and report
+    # the per-image cost of the full protocol — sum over scales, and
+    # doubled for the flip variant (evaluate's ms+flip runs each scale
+    # twice, reference evaluate.py:198-227) — not just the largest scale
+    per_scale = {}
+    rng = np.random.default_rng(0)
+    for key, m in sorted(ms_meta.items(),
+                         key=lambda kv: -(kv[1]["input"][1]
+                                          * kv[1]["input"][2])):
+        shape = tuple(m["input"])
+        compiled = aot_compile(body_fn, dev_params, shape)
+        image = jnp.asarray(rng.uniform(-1, 1, shape).astype(np.float32))
+        stats = benchmark(lambda img: compiled(dev_params, img), image,
+                          warmup=args.warmup, iters=args.iters)
+        per_scale[key] = round(stats["ms_per_batch"] / args.batch_size, 3)
+    ms_sum = round(sum(per_scale.values()), 3)
+    print(json.dumps({"input": [args.batch_size, h, w, 3],
+                      "dtype": args.dtype,
                       "form": "ms", "scales": sorted(ms_meta),
-                      "ms_per_batch": round(stats["ms_per_batch"], 3),
-                      "images_per_sec": round(stats["images_per_sec"],
-                                              3)}))
+                      "ms_per_image_per_scale": per_scale,
+                      "ms_per_image": ms_sum,
+                      "ms_per_image_flip": round(2 * ms_sum, 3),
+                      "images_per_sec": round(1000.0 / ms_sum, 3)}))
     return 0
 
 
@@ -157,13 +167,23 @@ def main(argv=None) -> int:
             raise SystemExit(f"--ms {args.ms!r} parses to zero scales — "
                              "pass comma-joined floats, e.g. "
                              "--ms '0.75,1'")
+        seen = set()
         for tok in toks:
             try:
-                float(tok)
+                val = float(tok)
             except ValueError:
                 raise SystemExit(f"--ms {args.ms!r}: {tok.strip()!r} is "
                                  "not a float — pass comma-joined "
                                  "floats, e.g. --ms '0.75,1'") from None
+            if val <= 0:
+                raise SystemExit(f"--ms {args.ms!r}: scale {tok.strip()!r}"
+                                 " must be > 0 (it multiplies the export "
+                                 "resolution)")
+            if str(val) in seen:
+                raise SystemExit(f"--ms {args.ms!r}: duplicate scale "
+                                 f"{tok.strip()!r} (scales normalize via "
+                                 "float(); '1' and '1.0' collide)")
+            seen.add(str(val))
         if args.output != "logits":
             raise SystemExit("--ms exports probability executables for "
                              "scale averaging: use --output logits")

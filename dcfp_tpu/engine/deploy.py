@@ -703,18 +703,34 @@ def _sync(out):
     return np.asarray(leaf.ravel()[0])
 
 
-def benchmark(run, example_input, *, warmup: int = 10, iters: int = 50
-              ) -> Dict[str, float]:
+def benchmark(run, example_input, *, warmup: int = 10, iters: int = 50,
+              blocks: int = 1) -> Dict[str, float]:
+    """Warmup once, then time ``blocks`` independent ``iters``-long blocks.
+
+    With blocks=1 this is exactly the reference protocol (one timed block,
+    totrt.py:70-89).  With blocks>1 the headline is the MEDIAN block, and
+    the per-block spread (min/max and the raw list) is reported so
+    round-over-round wobble can be read against a measured noise band
+    instead of guessed at (VERDICT r4 "no variance protocol").
+    """
     for _ in range(warmup):
         out = run(example_input)
     _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run(example_input)
-    _sync(out)
-    elapsed = time.perf_counter() - t0
+    block_ms = []
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = run(example_input)
+        _sync(out)
+        block_ms.append((time.perf_counter() - t0) / iters * 1000.0)
     batch = example_input.shape[0]
-    ms = elapsed / iters * 1000.0
-    ips = batch * iters / elapsed
-    log.info("latency: %.2f ms/batch, %.2f img/s", ms, ips)
-    return {"ms_per_batch": ms, "images_per_sec": ips}
+    ms = float(np.median(block_ms))
+    ips = batch * 1000.0 / ms
+    log.info("latency: %.2f ms/batch, %.2f img/s%s", ms, ips,
+             "" if blocks == 1 else
+             " (median of %d blocks, %.2f-%.2f ms)" % (
+                 blocks, min(block_ms), max(block_ms)))
+    return {"ms_per_batch": ms, "images_per_sec": ips,
+            "ms_blocks": [round(b, 3) for b in block_ms],
+            "ms_min": round(min(block_ms), 3),
+            "ms_max": round(max(block_ms), 3)}

@@ -357,10 +357,27 @@ def test_evaluate_serves_aot_artifact(cs_fixture, tmp_path_factory):
     # rejected up front (the (h, w) dispatch never re-checks batch; a
     # mismatch would otherwise surface as jax.export's opaque aval
     # error on the first image)
-    with pytest.raises(SystemExit):
+    with pytest.raises(SystemExit, match="exported at batch"):
         evaluate.main(common_ms + [
             "--batch-size", "2", "--use-aot", "true",
             "--aot-path", os.path.join(ms_dir, "model_s1.0.stablehlo")])
+
+
+def test_deploy_ms_flag_validation():
+    """--ms static validation fires before the (expensive) model build:
+    non-positive scales would produce zero/negative export shapes, and
+    duplicate normalized keys ('1' vs '1.0') would silently collapse to
+    one meta entry."""
+    from dcfp_tpu.cli import deploy
+    base = ["--dataset", "CS", "--model", "simple",
+            "--backbone", "resnet50", "--output", "logits",
+            "--save-dir", "/tmp/ms_validation_unused"]
+    with pytest.raises(SystemExit, match="must be > 0"):
+        deploy.main(base + ["--ms", "0,1"])
+    with pytest.raises(SystemExit, match="must be > 0"):
+        deploy.main(base + ["--ms=-0.5,1"])
+    with pytest.raises(SystemExit, match="duplicate scale"):
+        deploy.main(base + ["--ms", "1,1.0"])
 
 
 def test_ctx_pipeline_minimal(tmp_path_factory):

@@ -48,6 +48,7 @@ from dcfp_tpu.models.convert import (channel_cfg_to_torch,
 from dcfp_tpu.models.registry import build_model
 from dcfp_tpu.prune.eic import prunable_bn_names
 from dcfp_tpu.prune.pruner import DCFPPruner, apply_channel_cfg
+from dcfp_tpu.prune.trace import trace_topology
 
 REF = "/root/reference"
 HAS_REF = os.path.isdir(REF)
@@ -371,6 +372,61 @@ def run_convergence(n_pre=N_PRETRAIN, n_ft=N_FINETUNE):
     agree = np.concatenate(
         [our_masks[k] == ref_masks[k] for k in sorted(our_masks)])
     stats["mask_agreement"] = float(agree.mean())
+
+    # where the masks DISAGREE, the channels must sit at the quantile
+    # boundary: each disagreeing channel's EIC score, mapped through its
+    # own framework's pool CDF, lands within eps of the global_percent
+    # cut.  (A systematic cross-framework bias moving channels FAR from
+    # the threshold would pass the agreement gate alone — this makes the
+    # "disagreements sit at the boundary" claim checkable, in the same
+    # quantile units the DCFP threshold is defined in,
+    # dcfp_pruner.py:43-66.)  Conv-level masks, pre-OR: the per-conv
+    # decision is exactly score > thresh[pool].
+    ref_eic_full = {n: np.asarray(ref_eic.get(n, our_eic[n]), np.float64)
+                    for n in all_names}
+    topo = trace_topology(our_model.graph)
+
+    def conv_level(eic_dict):
+        pruner = DCFPPruner(
+            {k: np.asarray(v, np.float32) for k, v in eic_dict.items()},
+            global_percent=PRUNE_PERCENT, layer_keep=0.02,
+            except_start_keys=["conv_deepsup"])
+        exc = pruner._except_layers(our_model.graph, topo)
+        pools = [[], []]
+        for bn in topo.norm_conv:
+            if bn not in exc and bn in eic_dict:
+                pools[DCFPPruner.bn_group(bn)].append(
+                    np.asarray(eic_dict[bn], np.float64).ravel())
+        cdfs = [np.sort(np.concatenate(p)) if p else np.zeros(0)
+                for p in pools]
+        return pruner.conv_masks(our_model.graph, topo, exc), cdfs
+
+    def quantile_of(cdfs, g, s):
+        pool = cdfs[g]
+        return np.searchsorted(pool, s, side="right") / pool.size
+
+    cm_ours, cdf_ours = conv_level(our_eic)
+    cm_ref, cdf_ref = conv_level(ref_eic_full)
+    dists = []
+    for conv in sorted(set(cm_ours) & set(cm_ref)):
+        dis = cm_ours[conv] != cm_ref[conv]
+        if not dis.any():
+            continue
+        bn = topo.conv_norm[conv]
+        g = DCFPPruner.bn_group(bn)
+        qa = quantile_of(cdf_ours, g,
+                         np.asarray(our_eic[bn], np.float64).ravel())
+        qb = quantile_of(cdf_ref, g,
+                         np.asarray(ref_eic_full[bn], np.float64).ravel())
+        d = np.maximum(np.abs(qa - PRUNE_PERCENT),
+                       np.abs(qb - PRUNE_PERCENT))[dis]
+        dists.extend(d.tolist())
+    dists = np.asarray(dists)
+    stats["mask_disagree_count"] = int(dists.size)
+    stats["mask_disagree_q_p95"] = (
+        float(np.percentile(dists, 95)) if dists.size else 0.0)
+    stats["mask_disagree_q_max"] = (
+        float(dists.max()) if dists.size else 0.0)
     cfg_torch = channel_cfg_to_torch(res_ft.channel_cfg)
     pruned_sd = to_torch_state_dict(res_ft.params, res_ft.state)
 

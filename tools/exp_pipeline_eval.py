@@ -46,9 +46,12 @@ from dcfp_tpu.models.registry import build_model
 def main() -> int:
     # N_IMAGES is optional and flags may come first ("--ms" alone is
     # legal per the usage line) — only consume argv[1] if it is numeric
-    n = (int(sys.argv[1])
-         if len(sys.argv) > 1 and not sys.argv[1].startswith("-")
-         else 30)
+    n = 30
+    if len(sys.argv) > 1 and not sys.argv[1].startswith("-"):
+        if not sys.argv[1].isdigit():
+            raise SystemExit(f"usage: {sys.argv[0]} [N_IMAGES] [--ms] "
+                             f"[--sliding] — got {sys.argv[1]!r}")
+        n = int(sys.argv[1])
     root = os.environ.get("DCFP_CS_ROOT", "/tmp/cs_hw")
     val_list = os.environ.get("DCFP_CS_VAL_LIST",
                               os.path.join(root, "val.lst"))

@@ -132,7 +132,9 @@ def apply_width_flags(g, args):
         from dcfp_tpu.prune.eic import prunable_bn_names
         from dcfp_tpu.prune.search import prune_to_flops
         params, state = init_graph(g, jax.random.key(0))
-        rng = np.random.default_rng(7)
+        # seed 0 = the same synthetic-EIC draw as bench.py and
+        # exp_suffix.py, so rooflines line up with their measurements
+        rng = np.random.default_rng(0)
         eic = {bn: np.abs(rng.standard_normal(
             g.node(bn).attrs["channels"])).astype(np.float32)
             for bn in prunable_bn_names(g)}

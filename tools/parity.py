@@ -174,7 +174,12 @@ def cmd_tpu(args) -> int:
     # previous parity run out of the way so `compare` judges THIS run,
     # not stale mIoU from an earlier invocation of the same work dir.
     if os.path.exists(result):
-        prev = result + ".prev"
+        # unique rotation target: re-running the harness in one work dir
+        # must not silently discard an earlier run's mIoU blocks
+        n, prev = 0, result + ".prev"
+        while os.path.exists(prev):
+            n += 1
+            prev = f"{result}.prev.{n}"
         os.replace(result, prev)
         print(f"[parity] rotated stale {result} -> {prev}", flush=True)
 
