@@ -423,6 +423,8 @@ def run_convergence(n_pre=N_PRETRAIN, n_ft=N_FINETUNE):
         dists.extend(d.tolist())
     dists = np.asarray(dists)
     stats["mask_disagree_count"] = int(dists.size)
+    stats["mask_disagree_q_mean"] = (
+        float(dists.mean()) if dists.size else 0.0)
     stats["mask_disagree_q_p95"] = (
         float(np.percentile(dists, 95)) if dists.size else 0.0)
     stats["mask_disagree_q_max"] = (
@@ -487,6 +489,20 @@ def test_convergence_parity():
             stats["eic_selfnoise_corr_mean"] - 0.15), stats
     assert stats["eic_layer_mean_corr"] > 0.9, stats["eic_layer_mean_corr"]
     assert stats["mask_agreement"] > 0.85, stats["mask_agreement"]
+
+    # disagreement STRUCTURE (the round-4 "disagreements sit at the
+    # quantile boundary" claim, made checkable — and found FALSE at this
+    # horizon): measured p95 pool-quantile distance is 0.461, i.e.
+    # disagreeing channels spread nearly uniformly over the pool (the
+    # pure-chaos expectation for max-of-two-uniforms is p95≈0.487, the
+    # metric caps at 0.5).  They are chaos rank swaps, consistent with
+    # the chaos-bounded within-layer correlation above — NOT boundary
+    # jitter.  The gate pins the measured chaos regime: a systematic
+    # cross-framework bias pushing disagreements to the pool extremes
+    # would exceed it.  Whether boundary concentration emerges once the
+    # 0.999-EMA integrates out per-step chaos is measured vs horizon by
+    # tools/exp_eic_horizon.py (docs/ROADMAP.md round-5).
+    assert stats["mask_disagree_q_p95"] < 0.49, stats
 
     # both frameworks learned (mIoU well above the shared init), and
     # landed together (measured |delta| 0.0055 on the CPU backend at
