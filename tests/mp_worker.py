@@ -13,7 +13,11 @@ Each process owns 2 virtual CPU devices; together they form a
   on the full global batch — data-parallel SPMD must be numerically a
   batch-mean, so the two agree;
 * exercises allreduce_confusion across processes
-  (reference evaluate.py:370-372).
+  (reference evaluate.py:370-372);
+* runs a distributed PIPELINED eval (device-resident confusion through
+  the ms+flip device path) and a distributed --use-aot ss eval through a
+  serialized executable, each checked bit-exact against a local
+  recomputation over the full image set.
 
 Writes 'OK' (or the failure) to <outdir>/proc<id>.txt.
 """
@@ -160,6 +164,70 @@ def main() -> int:
         for shard in arr.addressable_shards:
             np.testing.assert_array_equal(np.asarray(shard.data),
                                           want[shard.index])
+
+    # ---- distributed PIPELINED eval: device-resident confusion halves
+    # reduced across processes (_finalize_eval -> allreduce_confusion,
+    # reference evaluate.py:370-372), through the ms+flip device path
+    # (predict_multiscale, reference evaluate.py:198-227).  The reduced
+    # global confusion must equal a local recomputation over ALL images
+    # through the identical device path, bit for bit.
+    from dcfp_tpu.engine.deploy import (export_serialized_split,
+                                        load_serialized,
+                                        make_split_inference_fn)
+    from dcfp_tpu.engine.evaluator import (Predictor, confusion_matrix,
+                                           evaluate_pipelined)
+
+    p_ev, bn_ev = init_graph(model.graph, jax.random.key(2))
+    ev_imgs = r.standard_normal((4, 33, 33, 3)).astype(np.float32) * 0.5
+    ev_labs = r.integers(0, 5, (4, 33, 33)).astype(np.int32)
+    ev_labs[r.random((4, 33, 33)) < 0.1] = 255
+    esl = slice(pid * 2, pid * 2 + 2)
+    loader = [{"img": ev_imgs[i:i + 1], "label": ev_labs[i:i + 1]}
+              for i in range(esl.start, esl.stop)]
+
+    # scales (1.0,) + flip forces the predict_multiscale accumulation
+    # path (flip disables the ss fast path) WITHOUT compiling a second
+    # scale shape — each extra compile costs ~1 min/process on the
+    # suite's 1-core hosts and the scale-resize math is already
+    # golden-tested single-process (test_evaluator.py)
+    predictor = Predictor(model.graph, p_ev, bn_ev)
+    res = evaluate_pipelined(predictor, loader, num_classes=5,
+                             whole=True, scales=(1.0,), flip=True,
+                             fps_warmup=0)
+    cm_ref = np.zeros((5, 5), np.float64)
+    for i in range(4):
+        out = predictor.predict_multiscale(
+            jnp.asarray(ev_imgs[i:i + 1]), (769, 769), (1.0,), 5,
+            True, False, True)
+        cm_ref += confusion_matrix(ev_labs[i:i + 1], np.asarray(out), 5,
+                                   255)
+    np.testing.assert_array_equal(res["confusion"], cm_ref,
+                                  err_msg="distributed pipelined ms+flip")
+
+    # ---- --use-aot serving under the cluster: each process serves its
+    # split through a serialized argmax executable (the --use-trt analog,
+    # reference evaluate.py:273-276); the cross-process confusion must
+    # equal a local recomputation through the SAME executable
+    body_fn, tail_fn, dev_p = make_split_inference_fn(
+        model.graph, p_ev, bn_ev, dtype=jnp.float32, fold_bn=True,
+        output="argmax", input_format="nhwc")
+    aot_path = os.path.join(outdir, f"model_p{pid}.stablehlo")
+    export_serialized_split(body_fn, tail_fn, dev_p, (1, 33, 33, 3),
+                            aot_path)
+    run = load_serialized(aot_path)
+    predictor_aot = Predictor(model.graph, p_ev, bn_ev)
+    predictor_aot.use_aot_whole(run, dev_p)
+    res_aot = evaluate_pipelined(predictor_aot, loader, num_classes=5,
+                                 whole=True, scales=(1.0,), flip=False,
+                                 fps_warmup=0)
+    cm_aot = np.zeros((5, 5), np.float64)
+    for i in range(4):
+        out = predictor_aot.predict_whole_labels(
+            jnp.asarray(ev_imgs[i:i + 1]))
+        cm_aot += confusion_matrix(ev_labs[i:i + 1], np.asarray(out), 5,
+                                   255)
+    np.testing.assert_array_equal(res_aot["confusion"], cm_aot,
+                                  err_msg="distributed --use-aot ss")
 
     # ---- preemption consensus: SIGTERM to ONE rank only ----------------
     # A signal landing on a single rank must not desert the SPMD program
