@@ -676,15 +676,24 @@ def export_serialized_split(body_fn, tail_fn, params,
 
 def load_serialized(path: str):
     """Load a serialized deploy engine.  If a ``path + '.tail'`` part
-    exists (split export), returns the chained callable."""
+    exists (split export), returns the chained callable.
+
+    Each part is wrapped in ``jax.jit`` ONCE here: a bare
+    ``Exported.call`` is re-traced on every invocation (measured ~1 s
+    of host overhead per call at deploy shapes — it drowned the 12-82 ms
+    device programs in the round-5 AOT-served loop measurements), while
+    the jit wrapper compiles the inlined module once per shape and then
+    dispatches through the C++ fast path.  Body and tail stay SEPARATE
+    jits — compiling them into one program makes XLA abandon its tiled
+    conv strategy (round-3 split-executable finding)."""
     from jax import export as jexport
     with open(path, "rb") as f:
         exported = jexport.deserialize(f.read())
-    body = exported.call
+    body = jax.jit(exported.call)
     tail_path = path + ".tail"
     try:
         with open(tail_path, "rb") as f:
-            tail = jexport.deserialize(f.read()).call
+            tail = jax.jit(jexport.deserialize(f.read()).call)
     except FileNotFoundError:
         return body
     return lambda p, image: tail(body(p, image))

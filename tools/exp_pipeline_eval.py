@@ -9,7 +9,13 @@ synthetic val images once and replays them N times so the comparison
 isolates the dispatch discipline from host PNG decode.
 
 Usage: python tools/exp_pipeline_eval.py [N_IMAGES] [--compact]
-       [--ms] [--sliding]
+       [--ms] [--sliding] [--aot DIR]
+
+--aot DIR serves every loop through the serialized artifact set in DIR
+(cli.deploy --ms exports for whole-image ms/flip; a tile logits export
+for sliding) — the protocol/pipelined/AOT-served comparison.  The
+export must come from this tool's own key(0)-init weights (e.g.
+cli.deploy --restore-from a checkpoint saved from that init).
 
 --ms / --sliding run the protocol-vs-pipelined comparison for the
 multi-scale(0.75,1)+flip and sliding-window(769² tiles) modes instead
@@ -81,6 +87,43 @@ def main() -> int:
                 tile_size=(769, 769))
     print(f"mode: {mode}", flush=True)
 
+    apply_aot = None
+    if "--aot" in sys.argv:
+        # Serve the same loop through a serialized artifact set from
+        # cli.deploy (--ms exports for whole-image ms/flip, a tile
+        # logits export for sliding) — the third column the round-4
+        # VERDICT asks for: protocol vs pipelined vs AOT-served.
+        # NOTE: exports must come from the same key(0) init this tool
+        # uses (BN-folded, so logits differ from the jit path only by
+        # fold reassociation; confusion comparisons here are aot-vs-aot).
+        import json
+
+        from dcfp_tpu.engine.deploy import load_serialized
+        from dcfp_tpu.utils import checkpoint as ckpt
+
+        aot_dir = sys.argv[sys.argv.index("--aot") + 1]
+        with open(os.path.join(aot_dir, "meta.json")) as f:
+            meta = json.load(f)
+        aot_params = jax.tree.map(jnp.asarray, ckpt.load_pytree(
+            os.path.join(aot_dir, "deploy_params.msgpack")))
+        if whole:
+            runs_by_hw = {}
+            for ent in meta["ms"].values():
+                run_s = load_serialized(os.path.join(aot_dir,
+                                                     ent["file"]))
+                runs_by_hw[tuple(ent["input"][1:3])] = run_s
+
+            def apply_aot(p):
+                p.use_aot_scales(runs_by_hw, aot_params)
+        else:
+            tile_run = load_serialized(os.path.join(aot_dir,
+                                                    "model.stablehlo"))
+
+            def apply_aot(p):
+                p.use_aot_tiles(tile_run, aot_params)
+        apply_aot(pred)
+        print(f"serving through {aot_dir}", flush=True)
+
     t0 = time.perf_counter()
     res_p = evaluate(pred, loader(), num_classes=19,
                      align_corner=True, fps_warmup=5, **mode)
@@ -105,6 +148,10 @@ def main() -> int:
         predc = Predictor(model.graph, params, state,
                           dtype=jnp.bfloat16, align_corner=True,
                           normalize=(dsc.mean, dsc.std))
+        if apply_aot is not None:
+            # prep_raw normalizes BEFORE _fwd, so the aot hooks compose
+            # with compact items unchanged
+            apply_aot(predc)
 
         def loader_c():
             for i in range(n):
