@@ -679,13 +679,15 @@ def load_serialized(path: str):
     exists (split export), returns the chained callable.
 
     Each part is wrapped in ``jax.jit`` ONCE here: a bare
-    ``Exported.call`` is re-traced on every invocation (measured ~1 s
-    of host overhead per call at deploy shapes — it drowned the 12-82 ms
-    device programs in the round-5 AOT-served loop measurements), while
-    the jit wrapper compiles the inlined module once per shape and then
-    dispatches through the C++ fast path.  Body and tail stay SEPARATE
-    jits — compiling them into one program makes XLA abandon its tiled
-    conv strategy (round-3 split-executable finding)."""
+    ``Exported.call`` misses the persistent compile cache on first use
+    (measured 1160 s vs 75 s through the jit wrapper for the same tile
+    program — that first call dominated the round-5 AOT-served loop
+    walls) and re-traces per call after (~1 ms extra, 15.0 vs 14.2
+    ms/call steady state); the jit wrapper compiles the inlined module
+    once per shape and then dispatches through the C++ fast path.  Body
+    and tail stay SEPARATE jits — compiling them into one program makes
+    XLA abandon its tiled conv strategy (round-3 split-executable
+    finding)."""
     from jax import export as jexport
     with open(path, "rb") as f:
         exported = jexport.deserialize(f.read())

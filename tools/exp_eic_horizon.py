@@ -51,7 +51,7 @@ from dcfp_tpu.prune.eic import prunable_bn_names  # noqa: E402
 from dcfp_tpu.prune.pruner import DCFPPruner  # noqa: E402
 from dcfp_tpu.prune.trace import trace_topology  # noqa: E402
 
-CHECKPOINTS = [100, 200, 400, 700, 1000, 1400, 2000]
+CHECKPOINTS = [100, 200, 400, 700, 1000, 1400, 2000, 2800]
 PRUNE_PERCENT = 0.5
 LAYER_KEEP = 0.02
 
